@@ -1,0 +1,124 @@
+"""Functional engine core: the jittable (params, state, audio) transforms.
+
+This is the TPU-native replacement for the closed pv_koala_process engine
+(reference: include/pv_koala.h:66-80): explicit STFT -> mask model -> iSTFT
+with all streaming state as an explicit pytree. Two execution shapes:
+
+- ``step``:     one 256-sample hop per stream   (real-time / mic path)
+- ``sequence``: [*, T, 256] hops per call       (file / batch / offline path)
+
+Streaming state (per stream):
+    input_carry [*, 256]  last input hop (analysis window left half)
+    ola         [*, 256]  synthesis overlap-add tail (the delayed samples)
+    model       pytree    model-specific recurrent state
+
+Invariant: sequence(state, pcm) is bit-identical to folding step() over the
+hops — verified by tests/test_engine.py — so offline batching never changes
+results vs the live-streaming path. Output is delayed by exactly
+DELAY_SAMPLE=256 samples (SURVEY.md §3.4 delay contract).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import FFT_SIZE, FRAME_LENGTH, NUM_BINS
+from ..models.registry import get_model
+from ..ops import stft as stft_ops
+
+
+class Engine:
+    """Bundle of jitted engine transforms for one (model kind, config)."""
+
+    def __init__(self, kind: str, config: Dict[str, Any]):
+        self.kind = kind
+        self.config = dict(config)
+        self.model = get_model(kind)
+
+        cfg = self.config
+
+        def _init_state(batch_shape: Tuple[int, ...]):
+            return {
+                "input_carry": jnp.zeros(batch_shape + (FRAME_LENGTH,), jnp.float32),
+                "ola": jnp.zeros(batch_shape + (FRAME_LENGTH,), jnp.float32),
+                "model": self.model.init_state(batch_shape, cfg),
+            }
+
+        def _step(params, state, hop):
+            # hop: [*, 256] float32 in [-1, 1]
+            frame = jnp.concatenate([state["input_carry"], hop], axis=-1)
+            re, im = stft_ops.stft_frame(frame)
+            model_state, mask = self.model.step(params, state["model"], re, im, cfg)
+            synth = stft_ops.istft_frame(re * mask, im * mask)
+            out = synth[..., :FRAME_LENGTH] + state["ola"]
+            new_state = {
+                "input_carry": hop,
+                "ola": synth[..., FRAME_LENGTH:],
+                "model": model_state,
+            }
+            return new_state, out
+
+        def _sequence(params, state, hops):
+            # hops: [*, T, 256]
+            t_axis = hops.ndim - 2
+            # Overlapping frames with the carried hop as frame 0's left half.
+            prev = jnp.concatenate(
+                [state["input_carry"][..., None, :],
+                 jnp.moveaxis(jnp.moveaxis(hops, t_axis, 0)[:-1], 0, t_axis)],
+                axis=t_axis)
+            frames = jnp.concatenate([prev, hops], axis=-1)     # [*, T, 512]
+            re, im = stft_ops.stft_frame(frames)
+            model_state, mask = self.model.apply_sequence(
+                params, state["model"], re, im, cfg)
+            synth = stft_ops.istft_frame(re * mask, im * mask)  # [*, T, 512]
+            heads = synth[..., :FRAME_LENGTH]
+            tails = synth[..., FRAME_LENGTH:]
+            prev_tails = jnp.concatenate(
+                [state["ola"][..., None, :],
+                 jnp.moveaxis(jnp.moveaxis(tails, t_axis, 0)[:-1], 0, t_axis)],
+                axis=t_axis)
+            out = heads + prev_tails                            # [*, T, 256]
+            new_state = {
+                "input_carry": jnp.moveaxis(hops, t_axis, 0)[-1],
+                "ola": jnp.moveaxis(tails, t_axis, 0)[-1],
+                "model": model_state,
+            }
+            return new_state, out
+
+        self.init_state = _init_state
+        self.step = _step
+        self.sequence = _sequence
+        # Donate state so per-call streaming keeps buffers resident on-device
+        # with no realloc (SURVEY.md §7 hard-part 2: state residency).
+        self.step_jit = jax.jit(_step, donate_argnums=(1,))
+        self.sequence_jit = jax.jit(_sequence, donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_engine_cached(kind: str, config_json: str) -> Engine:
+    return Engine(kind, json.loads(config_json))
+
+
+def make_engine(kind: str, config: Dict[str, Any]) -> Engine:
+    """Engine factory, cached so all streams of one model share jit caches."""
+    return _make_engine_cached(kind, json.dumps(config, sort_keys=True))
+
+
+def pcm_to_float(pcm: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM -> float32 in [-1, 1) (scale 1/32768; reference RMS
+    convention binding/python/test_koala.py:64-69)."""
+    return jnp.asarray(pcm, jnp.float32) / 32768.0
+
+
+def float_to_pcm(x: jnp.ndarray) -> jnp.ndarray:
+    """float32 [-1, 1) -> int16 PCM with round-half-away and saturation."""
+    scaled = x * 32768.0
+    return jnp.clip(jnp.round(scaled), -32768.0, 32767.0).astype(jnp.int16)
+
+
+__all__ = ["Engine", "make_engine", "pcm_to_float", "float_to_pcm"]

@@ -1,0 +1,166 @@
+"""KoalaNet: frame-wise GRU spectral-mask estimator (the flagship model).
+
+Architecture (ours; the reference model is an opaque ~2M-param blob inside
+lib/common/koala_params.pv — SURVEY.md §2 #2 — so this is a from-scratch
+design sized to the same parameter budget):
+
+    log-magnitude features [*, 257]
+      -> Dense(257 -> H) + gelu          (encoder)
+      -> N x GRU(H) with residual adds   (recurrent core)
+      -> Dense(H -> 257) + sigmoid       (decoder -> magnitude mask in [0,1])
+
+TPU-first layout decisions:
+- H = 384 (3 x 128 MXU lanes); all hot matmuls are [*,H]@[H,3H] or
+  [*,257]@[257,H] — MXU-shaped, bfloat16-friendly.
+- The GRU input projection (x @ W_x) has no time dependence, so sequence
+  mode hoists it out of the scan into ONE [B*T, H] @ [H, 3H] matmul per
+  layer; the lax.scan carries only the [B, H] hidden state and does the
+  [B,H]@[H,3H] recurrent matmul per step. This is the difference between a
+  bandwidth-bound scan of tiny ops and an MXU-bound pipeline.
+- Streaming invariant: state is O(1) per stream ([L, B, H] hiddens), reset
+  = exact zeroing, matching the reference's bit-determinism contract
+  (reference test: binding/python/test_koala.py:116-129).
+
+Gate math (z = update, r = reset, n = candidate; separate hidden-side bias
+so the reset gate modulates the full hidden contribution):
+    z = sigmoid(xz + h @ Whz + bhz)
+    r = sigmoid(xr + h @ Whr + bhr)
+    n = tanh(xn + r * (h @ Whn + bhn))
+    h' = (1 - z) * n + z * h
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NUM_BINS
+
+DEFAULT_CONFIG = {
+    "kind": "mask_gru",
+    "hidden": 384,
+    "num_layers": 2,
+    "bins": NUM_BINS,
+    "feat_eps": 1e-4,
+    "feat_scale": 0.25,   # affine on log-magnitude, roughly unit-variance
+    "feat_shift": 1.5,
+}
+
+
+def num_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def init_params(key, config: Dict[str, Any] = None) -> Dict[str, Any]:
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    h, layers, bins = cfg["hidden"], cfg["num_layers"], cfg["bins"]
+    keys = jax.random.split(key, 2 + 2 * layers)
+
+    def dense(k, fan_in, fan_out):
+        scale = 1.0 / np.sqrt(fan_in)
+        return {
+            "w": jax.random.uniform(k, (fan_in, fan_out), jnp.float32, -scale, scale),
+            "b": jnp.zeros((fan_out,), jnp.float32),
+        }
+
+    def gru(kx, kh, dim):
+        scale = 1.0 / np.sqrt(dim)
+        return {
+            "wx": jax.random.uniform(kx, (dim, 3 * dim), jnp.float32, -scale, scale),
+            "wh": jax.random.uniform(kh, (dim, 3 * dim), jnp.float32, -scale, scale),
+            "bx": jnp.zeros((3 * dim,), jnp.float32),
+            "bh": jnp.zeros((3 * dim,), jnp.float32),
+        }
+
+    params = {
+        "enc": dense(keys[0], bins, h),
+        "gru": [gru(keys[2 + 2 * i], keys[3 + 2 * i], h) for i in range(layers)],
+        "dec": dense(keys[1], h, bins),
+    }
+    # Bias the decoder toward mask ~= 1 at init so an untrained model is a
+    # near-passthrough (keeps the delay/determinism tests meaningful before
+    # training, and is a good optimization starting point).
+    params["dec"]["b"] = params["dec"]["b"] + 3.0
+    return params
+
+
+def features(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarray:
+    """Spectrum -> model input features: scaled log-magnitude."""
+    mag = jnp.sqrt(re * re + im * im + cfg["feat_eps"] ** 2)
+    return (jnp.log(mag) + cfg["feat_shift"]) * cfg["feat_scale"]
+
+
+def _gru_recurrent(layer, h, xproj):
+    """One GRU step given precomputed input projection xproj = x@wx + bx."""
+    dim = h.shape[-1]
+    hproj = jnp.matmul(h, layer["wh"]) + layer["bh"]
+    xz, xr, xn = jnp.split(xproj, 3, axis=-1)
+    hz, hr, hn = jnp.split(hproj, 3, axis=-1)
+    z = jax.nn.sigmoid(xz + hz)
+    r = jax.nn.sigmoid(xr + hr)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def init_state(batch_shape: Tuple[int, ...], config: Dict[str, Any] = None,
+               dtype=jnp.float32):
+    # Batch dims LEAD (engine contract: every state leaf is [*batch, ...] so
+    # per-stream masked reset can broadcast a [*batch] mask over any leaf).
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    return jnp.zeros(tuple(batch_shape) + (cfg["num_layers"], cfg["hidden"]), dtype)
+
+
+def step(params, state, re, im, config: Dict[str, Any] = None):
+    """Single-frame step: ([*,L,H] state, [*,K] spectrum) -> (state', mask [*,K])."""
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    x = features(re, im, cfg)
+    x = jax.nn.gelu(jnp.matmul(x, params["enc"]["w"]) + params["enc"]["b"])
+    new_states = []
+    for i, layer in enumerate(params["gru"]):
+        xproj = jnp.matmul(x, layer["wx"]) + layer["bx"]
+        h = _gru_recurrent(layer, state[..., i, :], xproj)
+        new_states.append(h)
+        x = x + h  # residual
+    mask = jax.nn.sigmoid(jnp.matmul(x, params["dec"]["w"]) + params["dec"]["b"])
+    return jnp.stack(new_states, axis=-2), mask
+
+
+def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
+    """Sequence mode: spectra [*, T, K] -> (final_state, masks [*, T, K]).
+
+    Hoists all time-independent matmuls (features/encoder/input projections/
+    decoder) out of the scan; the scan carries only [L, *, H] hidden state.
+    """
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    x = features(re, im, cfg)                                   # [*, T, K]
+    x = jax.nn.gelu(jnp.matmul(x, params["enc"]["w"]) + params["enc"]["b"])  # [*, T, H]
+
+    t_axis = x.ndim - 2
+    for i, layer in enumerate(params["gru"]):
+        xproj = jnp.matmul(x, layer["wx"]) + layer["bx"]        # [*, T, 3H]
+        xproj_t = jnp.moveaxis(xproj, t_axis, 0)                # [T, *, 3H]
+
+        def scan_fn(h, xp, _layer=layer):
+            h_new = _gru_recurrent(_layer, h, xp)
+            return h_new, h_new
+
+        h_final, hs = jax.lax.scan(scan_fn, state[..., i, :], xproj_t)  # hs: [T, *, H]
+        state = state.at[..., i, :].set(h_final)
+        x = x + jnp.moveaxis(hs, 0, t_axis)
+    mask = jax.nn.sigmoid(jnp.matmul(x, params["dec"]["w"]) + params["dec"]["b"])
+    return state, mask
+
+
+__all__ = [
+    "DEFAULT_CONFIG",
+    "init_params",
+    "init_state",
+    "step",
+    "apply_sequence",
+    "features",
+    "num_params",
+]

