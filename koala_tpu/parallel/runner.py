@@ -80,7 +80,7 @@ class CorpusRunner:
         """Run the corpus; returns a throughput/efficiency report."""
         audio_seconds = 0.0
         n_batches = 0
-        start = None
+        start = time.perf_counter() if warmup == 0 else None
         out = None
         for i, pcm in enumerate(batches):
             out = self.enhance_batch(pcm)

@@ -1,0 +1,145 @@
+"""Trainer for the learned mask estimator.
+
+Loss = negative segmental SNR (scale-SENSITIVE, because the acceptance
+harness — the reference's per-frame RMS parity test, binding/python/
+test_koala.py:71-104 — checks absolute energy) + spectral magnitude L1.
+
+Data-parallel over a jax.sharding.Mesh: batch axis sharded, parameters
+replicated; XLA inserts the gradient all-reduce from the sharding
+annotations (no hand-written collectives). The same ``make_train_step``
+drives single-chip training, the multi-chip dryrun, and pod-scale runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..constants import DELAY_SAMPLE, FRAME_LENGTH
+from ..engine.core import make_engine
+from ..models import mask_gru
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .data import MixtureSampler
+
+
+def delayed(target: jnp.ndarray, delay: int = DELAY_SAMPLE) -> jnp.ndarray:
+    """Shift target right by the engine delay so it aligns with the output."""
+    pad = jnp.zeros(target.shape[:-1] + (delay,), target.dtype)
+    return jnp.concatenate([pad, target[..., :-delay]], axis=-1)
+
+
+def snr_loss(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Negative SNR in dB, scale-sensitive, safe for silent targets."""
+    err = jnp.sum((est - ref) ** 2, axis=-1)
+    sig = jnp.sum(ref ** 2, axis=-1)
+    # For silent refs this degrades to -10log10(eps/(err+eps)): pushes err->0.
+    return jnp.mean(10.0 * jnp.log10((err + eps) / (sig + eps)))
+
+
+def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """L1 between STFT magnitudes of est/ref waveforms [B, T*hop]."""
+    from ..ops import stft as stft_ops
+
+    def mags(x):
+        frames = stft_ops.frame_signal(x)
+        re, im = stft_ops.stft_frame(frames)
+        return jnp.sqrt(re * re + im * im + 1e-10)
+
+    return jnp.mean(jnp.abs(mags(est) - mags(ref)))
+
+
+def make_loss_fn(config: Dict[str, Any]):
+    engine = make_engine(config.get("kind", "mask_gru"), config)
+
+    def loss_fn(params, noisy, clean):
+        # noisy/clean: [B, S] float32, S = T*256
+        b, s = noisy.shape
+        hops = noisy.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
+        state = engine.init_state((b,))
+        _, out = engine.sequence(params, state, hops)
+        est = out.reshape(b, s)
+        ref = delayed(clean)
+        loss = snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
+        return loss
+
+    return loss_fn
+
+
+def make_train_step(config: Dict[str, Any], optimizer, mesh=None):
+    """Returns a jitted train_step(params, opt_state, noisy, clean) ->
+    (params, opt_state, loss). If ``mesh`` is given, the batch is sharded
+    over its 'data' axis and params/opt_state are replicated."""
+    loss_fn = make_loss_fn(config)
+
+    def train_step(params, opt_state, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    param_sh = replicate(mesh)
+    batch_sh = shard_batch(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(param_sh, param_sh, batch_sh, batch_sh),
+        out_shardings=(param_sh, param_sh, None),
+        donate_argnums=(0, 1))
+
+
+def train(
+        speech_bank,
+        noise_bank,
+        steps: int = 4000,
+        batch: int = 64,
+        segment_frames: int = 63,
+        lr: float = 3e-4,
+        seed: int = 0,
+        config: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        log_every: int = 200,
+        params=None) -> Tuple[Any, Dict[str, Any]]:
+    """Train the mask_gru model; returns (params, config)."""
+    cfg = dict(mask_gru.DEFAULT_CONFIG, **(config or {}))
+    if params is None:
+        params = mask_gru.init_params(jax.random.PRNGKey(seed), cfg)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=lr * 0.05, peak_value=lr,
+        warmup_steps=max(steps // 20, 10), decay_steps=steps, end_value=lr * 0.02)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=1e-5))
+    opt_state = optimizer.init(params)
+
+    train_step = make_train_step(cfg, optimizer, mesh)
+    sampler = MixtureSampler(speech_bank, noise_bank,
+                             segment_frames=segment_frames, seed=seed)
+
+    if mesh is not None:
+        params = jax.device_put(params, replicate(mesh))
+        opt_state = jax.device_put(opt_state, replicate(mesh))
+
+    t0 = time.perf_counter()
+    for step_i in range(steps):
+        noisy, clean = sampler.sample(batch)
+        if mesh is not None:
+            noisy = jax.device_put(noisy, shard_batch(mesh))
+            clean = jax.device_put(clean, shard_batch(mesh))
+        params, opt_state, loss = train_step(params, opt_state, noisy, clean)
+        if log_every and (step_i % log_every == 0 or step_i == steps - 1):
+            print("step %5d  loss %.4f  (%.1fs)"
+                  % (step_i, float(loss), time.perf_counter() - t0), flush=True)
+    return params, cfg
+
+
+__all__ = ["train", "make_train_step", "make_loss_fn", "snr_loss",
+           "spectral_l1", "delayed"]

@@ -14,6 +14,10 @@ import pytest
 
 import jax
 
+# The machine's sitecustomize force-registers the TPU ("axon") platform and
+# sets jax_platforms explicitly, which wins over env vars — override it back
+# to CPU here, before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_AUDIO = "/root/reference/resources/audio_samples/test.wav"
