@@ -141,5 +141,62 @@ def train(
     return params, cfg
 
 
-__all__ = ["train", "make_train_step", "make_loss_fn", "snr_loss",
-           "spectral_l1", "delayed"]
+def train_on_device(
+        speech_tape: np.ndarray,
+        noise_tape: np.ndarray,
+        steps: int = 4000,
+        batch: int = 64,
+        segment_frames: int = 63,
+        lr: float = 3e-4,
+        seed: int = 0,
+        config: Optional[Dict[str, Any]] = None,
+        log_every: int = 200,
+        params=None) -> Tuple[Any, Dict[str, Any]]:
+    """Single-chip training with the data pipeline fused into the jitted
+    step (DeviceSampler): zero per-step host->device transfer. The only
+    host traffic is the one-time tape upload and periodic loss fetches."""
+    from .device_sampler import DeviceSampler
+
+    cfg = dict(mask_gru.DEFAULT_CONFIG, **(config or {}))
+    if params is None:
+        params = mask_gru.init_params(jax.random.PRNGKey(seed), cfg)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=lr * 0.05, peak_value=lr,
+        warmup_steps=max(steps // 20, 10), decay_steps=steps, end_value=lr * 0.02)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=1e-5))
+    opt_state = optimizer.init(params)
+
+    device = jax.devices()[0]
+    sampler = DeviceSampler(
+        jax.device_put(jnp.asarray(speech_tape, jnp.float32), device),
+        jax.device_put(jnp.asarray(noise_tape, jnp.float32), device),
+        segment_frames * FRAME_LENGTH)
+    loss_fn = make_loss_fn(cfg)
+
+    def step_fn(params, opt_state, key):
+        noisy, clean = sampler.sample(key, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
+    params = jax.device_put(params, device)
+    opt_state = jax.device_put(opt_state, device)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), steps)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step_jit(params, opt_state, keys[i])
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            # scalar fetch doubles as the pipeline sync point
+            print("step %5d  loss %.4f  (%.1fs)"
+                  % (i, float(loss), time.perf_counter() - t0), flush=True)
+    return params, cfg
+
+
+__all__ = ["train", "train_on_device", "make_train_step", "make_loss_fn",
+           "snr_loss", "spectral_l1", "delayed"]
