@@ -169,6 +169,28 @@ class KoalaBatch:
                 mask[s] = True
         self._state = self._reset_jit(self._state, jnp.asarray(mask))
 
+    def save_state(self) -> dict:
+        """Snapshot all streams' state as host numpy arrays (checkpoint
+        surface for long-form/pod-scale jobs; resumes bit-exactly)."""
+        self._check_handle()
+        from ..models.params_io import _flatten
+        return {k: np.asarray(v) for k, v in
+                _flatten(jax.device_get(self._state)).items()}
+
+    def load_state(self, snapshot: dict) -> None:
+        self._check_handle()
+        from ..models.params_io import _flatten, _unflatten
+
+        fresh = self._engine.init_state((self._batch_size,))
+        expected = _flatten(jax.device_get(fresh))
+        if set(snapshot.keys()) != set(expected.keys()) or any(
+                tuple(np.shape(snapshot[k])) != tuple(np.shape(v))
+                for k, v in expected.items()):
+            ERROR_STACK.push("state snapshot does not match engine state layout")
+            raise_with_stack(KoalaInvalidArgumentError, "Invalid state snapshot")
+        restored = _unflatten({k: np.asarray(v) for k, v in snapshot.items()})
+        self._state = jax.device_put(restored, self._device)
+
     def delete(self) -> None:
         self._handle = None
         self._state = None

@@ -90,12 +90,27 @@ class Engine:
             }
             return new_state, out
 
+        def _step_masked(params, state, hop, active):
+            # Lockstep pool step: compute for ALL streams, commit state only
+            # for active ones (TPU-friendly: uniform compute, masked commit).
+            # active: [*] bool. Inactive streams' state is bit-preserved.
+            new_state, out = _step(params, state, hop)
+
+            def select(new, old):
+                m = active.reshape(active.shape + (1,) * (new.ndim - active.ndim))
+                return jnp.where(m, new, old)
+
+            committed = jax.tree_util.tree_map(select, new_state, state)
+            return committed, out
+
         self.init_state = _init_state
         self.step = _step
+        self.step_masked = _step_masked
         self.sequence = _sequence
         # Donate state so per-call streaming keeps buffers resident on-device
         # with no realloc (SURVEY.md §7 hard-part 2: state residency).
         self.step_jit = jax.jit(_step, donate_argnums=(1,))
+        self.step_masked_jit = jax.jit(_step_masked, donate_argnums=(1,))
         self.sequence_jit = jax.jit(_sequence, donate_argnums=(1,))
 
 

@@ -142,6 +142,39 @@ class Koala:
         flat = np.asarray(out).reshape(-1)
         return _float_to_pcm_np(flat[DELAY_SAMPLE:DELAY_SAMPLE + n])
 
+    # -- state snapshot/restore (long-form streaming; new surface with no
+    # reference counterpart, SURVEY.md §5 checkpoint/resume) ---------------
+
+    def save_state(self) -> dict:
+        """Snapshot the full streaming state (input carry, OLA tail, model
+        recurrence) as host numpy arrays. Restoring it with ``load_state``
+        resumes the stream bit-exactly — the checkpoint/resume surface for
+        multi-hour audio chunked across calls or processes."""
+        self._check_handle()
+        import jax as _jax
+
+        from ..models.params_io import _flatten
+        return {k: np.asarray(v) for k, v in
+                _flatten(_jax.device_get(self._state)).items()}
+
+    def load_state(self, snapshot: dict) -> None:
+        """Restore a ``save_state`` snapshot."""
+        self._check_handle()
+        from ..models.params_io import _flatten, _unflatten
+
+        fresh = self._engine.init_state(())
+        expected = _flatten(jax.device_get(fresh))
+        if set(snapshot.keys()) != set(expected.keys()):
+            ERROR_STACK.push("state snapshot keys do not match engine state")
+            raise_with_stack(KoalaInvalidArgumentError, "Invalid state snapshot")
+        for k, v in expected.items():
+            if tuple(np.shape(snapshot[k])) != tuple(np.shape(v)):
+                ERROR_STACK.push("state leaf `%s` has shape %s, expected %s"
+                                 % (k, np.shape(snapshot[k]), np.shape(v)))
+                raise_with_stack(KoalaInvalidArgumentError, "Invalid state snapshot")
+        restored = _unflatten({k: np.asarray(v) for k, v in snapshot.items()})
+        self._state = jax.device_put(restored, self._device)
+
     # -- properties --------------------------------------------------------
 
     @property

@@ -1,0 +1,161 @@
+"""Async streaming server: many live audio streams -> one batched device.
+
+The TPU-native analog of the reference's Web-Worker offload (binding/web/
+src/koala_worker.ts + koala_worker_handler.ts: audio thread posts frames to
+a worker so it never blocks on the engine). Here:
+
+  producers (audio callbacks)  --push-->  native StreamPool ring buffers
+  dispatch thread:  gather ready frames -> masked batched engine step
+                    -> route enhanced frames to per-stream output queues
+
+The engine advances ALL pool slots in lockstep (uniform compute) but
+commits state only for streams that contributed a real frame (masked
+commit), so mixed-rate producers stay bit-correct. Push/pull never touch
+the device; the dispatch thread owns all device traffic.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
+from .device import parse_device, resolve_jax_device
+from .engine.batch import masked_reset
+from .engine.core import make_engine, pcm_to_float
+from .engine.stream import _float_to_pcm_np, validate_access_key
+from .errors import ERROR_STACK, KoalaInvalidArgumentError, raise_with_stack
+from .hostlib import StreamPool
+from .models import params_io
+
+
+class StreamingServer:
+    """Batched streaming enhancement service over ``num_streams`` slots."""
+
+    def __init__(
+            self,
+            access_key: str,
+            num_streams: int,
+            model_path: Optional[str] = None,
+            device: Optional[str] = None,
+            capacity_frames: int = 256,
+            poll_interval_s: float = 0.002):
+        validate_access_key(access_key)
+        model_path = model_path or params_io.default_model_path()
+        if not os.path.exists(model_path):
+            ERROR_STACK.push("could not find model file at `%s`" % model_path)
+            raise_with_stack(KoalaInvalidArgumentError, "Initialization failed")
+
+        self.num_streams = num_streams
+        self._device = resolve_jax_device(parse_device(device or "best"))
+        params, config = params_io.load_params(model_path)
+        self._engine = make_engine(config.get("kind", "mask_gru"), config)
+        self._params = jax.device_put(params, self._device)
+        self._state = jax.device_put(
+            self._engine.init_state((num_streams,)), self._device)
+
+        self._pool = StreamPool(num_streams, FRAME_LENGTH, capacity_frames)
+        self._out_queues: List[collections.deque] = [
+            collections.deque() for _ in range(num_streams)]
+        self._out_lock = threading.Lock()
+        self._reset_pending = np.zeros((num_streams,), bool)
+        self._reset_lock = threading.Lock()
+        self._poll = poll_interval_s
+        self._frames_processed = 0
+        self._steps = 0
+
+        eng = self._engine
+
+        def _reset_fn(state, mask):
+            return masked_reset(state, eng.init_state((num_streams,)), mask)
+
+        self._reset_jit = jax.jit(_reset_fn, donate_argnums=(0,))
+
+        self._running = True
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- producer API (any thread) ----------------------------------------
+
+    def push(self, stream: int, samples: np.ndarray) -> bool:
+        """Append int16 samples to a stream. False on ring overflow."""
+        return self._pool.push(stream, samples)
+
+    def pull(self, stream: int, max_frames: Optional[int] = None) -> np.ndarray:
+        """Fetch enhanced int16 samples queued for a stream (may be empty)."""
+        out = []
+        with self._out_lock:
+            q = self._out_queues[stream]
+            while q and (max_frames is None or len(out) < max_frames):
+                out.append(q.popleft())
+        if not out:
+            return np.zeros((0,), np.int16)
+        return np.concatenate(out)
+
+    def reset(self, stream: int) -> None:
+        """Schedule a stream reset (applied before its next frame)."""
+        self._pool.reset_stream(stream)
+        with self._reset_lock:
+            self._reset_pending[stream] = True
+        with self._out_lock:
+            self._out_queues[stream].clear()
+
+    # -- dispatch thread ---------------------------------------------------
+
+    def _dispatch_loop(self) -> None:
+        while self._running:
+            with self._reset_lock:
+                pending = self._reset_pending.copy()
+                self._reset_pending[:] = False
+            if pending.any():
+                self._state = self._reset_jit(self._state, jnp.asarray(pending))
+
+            batch, active, n = self._pool.gather()
+            if n == 0:
+                time.sleep(self._poll)
+                continue
+            hop = pcm_to_float(batch.astype(np.float32))
+            self._state, out = self._engine.step_masked_jit(
+                self._params, self._state, hop, jnp.asarray(active))
+            out_np = _float_to_pcm_np(np.asarray(out))
+            with self._out_lock:
+                for i in np.nonzero(active)[0]:
+                    self._out_queues[i].append(out_np[i])
+            self._frames_processed += int(n)
+            self._steps += 1
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def stats(self) -> Dict[str, float]:
+        return {
+            "frames_processed": self._frames_processed,
+            "device_steps": self._steps,
+            "audio_seconds": self._frames_processed * FRAME_LENGTH / SAMPLE_RATE,
+            "dropped_samples": self._pool.dropped_samples,
+        }
+
+    @property
+    def delay_sample(self) -> int:
+        return DELAY_SAMPLE
+
+    @property
+    def frame_length(self) -> int:
+        return FRAME_LENGTH
+
+    def close(self) -> None:
+        self._running = False
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)
+        self._pool.close()
+
+
+__all__ = ["StreamingServer"]

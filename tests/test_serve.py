@@ -1,0 +1,94 @@
+"""StreamingServer tests: async pipeline correctness vs the direct engine."""
+
+import time
+
+import numpy as np
+import pytest
+
+from koala_tpu.constants import FRAME_LENGTH
+from koala_tpu.serve import StreamingServer
+
+
+def _drain(server, stream, expected_samples, timeout=30.0):
+    out = []
+    total = 0
+    deadline = time.time() + timeout
+    while total < expected_samples and time.time() < deadline:
+        chunk = server.pull(stream)
+        if len(chunk):
+            out.append(chunk)
+            total += len(chunk)
+        else:
+            time.sleep(0.005)
+    return np.concatenate(out) if out else np.zeros((0,), np.int16)
+
+
+def test_server_matches_direct_stream(access_key, mmse_model, rng):
+    """Frames served through the async pipeline must equal the synchronous
+    single-stream engine output bit-for-bit."""
+    import koala_tpu
+
+    t = 12
+    pcm = (rng.standard_normal(t * FRAME_LENGTH) * 6000).astype(np.int16)
+
+    k = koala_tpu.create(access_key, model_path=mmse_model, device="cpu")
+    direct = []
+    for s in range(0, len(pcm), FRAME_LENGTH):
+        direct.append(np.asarray(k.process(pcm[s:s + FRAME_LENGTH].tolist()), np.int16))
+    direct = np.concatenate(direct)
+    k.delete()
+
+    server = StreamingServer(access_key, num_streams=4, model_path=mmse_model,
+                             device="cpu")
+    try:
+        server.push(2, pcm)
+        served = _drain(server, 2, len(pcm))
+        np.testing.assert_array_equal(served, direct)
+    finally:
+        server.close()
+
+
+def test_server_interleaved_streams(access_key, mmse_model, rng):
+    """Two streams with different push cadences both produce correct audio."""
+    t = 8
+    pcm0 = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+    pcm1 = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+
+    server = StreamingServer(access_key, num_streams=2, model_path=mmse_model,
+                             device="cpu")
+    try:
+        # stream 0 gets everything at once; stream 1 dribbles frame by frame
+        server.push(0, pcm0)
+        for s in range(0, len(pcm1), FRAME_LENGTH):
+            server.push(1, pcm1[s:s + FRAME_LENGTH])
+            time.sleep(0.002)
+        out0 = _drain(server, 0, len(pcm0))
+        out1 = _drain(server, 1, len(pcm1))
+    finally:
+        server.close()
+
+    import koala_tpu
+    for pcm, out in ((pcm0, out0), (pcm1, out1)):
+        k = koala_tpu.create(access_key, model_path=mmse_model, device="cpu")
+        direct = np.concatenate([
+            np.asarray(k.process(pcm[s:s + FRAME_LENGTH].tolist()), np.int16)
+            for s in range(0, len(pcm), FRAME_LENGTH)])
+        k.delete()
+        np.testing.assert_array_equal(out, direct)
+
+
+def test_server_reset_stream(access_key, mmse_model, rng):
+    t = 6
+    pcm = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+    server = StreamingServer(access_key, num_streams=2, model_path=mmse_model,
+                             device="cpu")
+    try:
+        server.push(0, pcm)
+        first = _drain(server, 0, len(pcm))
+        server.reset(0)
+        server.push(0, pcm)
+        second = _drain(server, 0, len(pcm))
+        np.testing.assert_array_equal(first, second)
+        assert server.stats["frames_processed"] >= 2 * t
+    finally:
+        server.close()
