@@ -123,8 +123,9 @@ class KoalaBatch:
     def process_chunk(self, pcm) -> np.ndarray:
         """[B, T*256] int16 -> [B, T*256] enhanced int16 (delayed stream).
 
-        Bit-identical to T successive ``process`` calls (invariant verified
-        in tests/test_engine.py)."""
+        Semantically identical to T successive ``process`` calls; the two
+        paths compile to different XLA programs, so int16 outputs can
+        differ by 1 LSB at rounding boundaries (tests/test_engine.py)."""
         self._check_handle()
         pcm = np.asarray(pcm)
         if pcm.ndim != 2 or pcm.shape[0] != self._batch_size \

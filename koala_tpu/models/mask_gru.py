@@ -48,7 +48,42 @@ DEFAULT_CONFIG = {
     "feat_eps": 1e-4,
     "feat_scale": 0.25,   # affine on log-magnitude, roughly unit-variance
     "feat_shift": 1.5,
+    # MXU compute dtype for the model matmuls (accumulation stays f32 via
+    # preferred_element_type). bfloat16 runs the MXU at full rate; the mask
+    # head stays well inside the harness tolerance. Gate math and state
+    # remain f32.
+    "compute_dtype": "bfloat16",
+    # Fused Pallas recurrence for sequence mode: "auto" enables it on TPU
+    # backends when shapes qualify (ops/pallas/gru.py); False forces the
+    # XLA lax.scan path (used for training, whose backward runs through
+    # the scan implementation, and for CPU tests).
+    "use_pallas": "auto",
 }
+
+
+def _pallas_enabled(cfg, x) -> bool:
+    if cfg.get("use_pallas") in (False, None):
+        return False
+    if cfg.get("compute_dtype") != "bfloat16":
+        return False
+    if x.ndim != 3:          # need [B, T, H]
+        return False
+    from ..ops.pallas.gru import gru_stack_supported
+
+    b = x.shape[0]
+    if not gru_stack_supported(cfg["num_layers"], b, cfg["hidden"]):
+        return False
+    if cfg.get("use_pallas") == "auto":
+        import jax as _jax
+        return _jax.default_backend() not in ("cpu",)
+    return True
+
+
+def _mm(x, w, cfg):
+    """Model matmul in the configured compute dtype, f32 accumulate."""
+    dt = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+    return jnp.matmul(x.astype(dt), w.astype(dt),
+                      preferred_element_type=jnp.float32)
 
 
 def num_params(params) -> int:
@@ -94,10 +129,9 @@ def features(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarr
     return (jnp.log(mag) + cfg["feat_shift"]) * cfg["feat_scale"]
 
 
-def _gru_recurrent(layer, h, xproj):
+def _gru_recurrent(layer, h, xproj, cfg):
     """One GRU step given precomputed input projection xproj = x@wx + bx."""
-    dim = h.shape[-1]
-    hproj = jnp.matmul(h, layer["wh"]) + layer["bh"]
+    hproj = _mm(h, layer["wh"], cfg) + layer["bh"]
     xz, xr, xn = jnp.split(xproj, 3, axis=-1)
     hz, hr, hn = jnp.split(hproj, 3, axis=-1)
     z = jax.nn.sigmoid(xz + hz)
@@ -118,14 +152,14 @@ def step(params, state, re, im, config: Dict[str, Any] = None):
     """Single-frame step: ([*,L,H] state, [*,K] spectrum) -> (state', mask [*,K])."""
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
     x = features(re, im, cfg)
-    x = jax.nn.gelu(jnp.matmul(x, params["enc"]["w"]) + params["enc"]["b"])
+    x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])
     new_states = []
     for i, layer in enumerate(params["gru"]):
-        xproj = jnp.matmul(x, layer["wx"]) + layer["bx"]
-        h = _gru_recurrent(layer, state[..., i, :], xproj)
+        xproj = _mm(x, layer["wx"], cfg) + layer["bx"]
+        h = _gru_recurrent(layer, state[..., i, :], xproj, cfg)
         new_states.append(h)
         x = x + h  # residual
-    mask = jax.nn.sigmoid(jnp.matmul(x, params["dec"]["w"]) + params["dec"]["b"])
+    mask = jax.nn.sigmoid(_mm(x, params["dec"]["w"], cfg) + params["dec"]["b"])
     return jnp.stack(new_states, axis=-2), mask
 
 
@@ -137,21 +171,36 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
     """
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
     x = features(re, im, cfg)                                   # [*, T, K]
-    x = jax.nn.gelu(jnp.matmul(x, params["enc"]["w"]) + params["enc"]["b"])  # [*, T, H]
+    x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])  # [*, T, H]
+
+    if _pallas_enabled(cfg, x):
+        from ..ops.pallas.gru import gru_stack_pallas
+
+        l1, l2 = params["gru"]
+        xp1 = _mm(x, l1["wx"], cfg) + l1["bx"]                  # [B, T, 3H]
+        y, h_final = gru_stack_pallas(
+            jnp.moveaxis(state, 1, 0),                          # [L, B, H]
+            jnp.moveaxis(xp1, 1, 0),                            # [T, B, 3H]
+            jnp.moveaxis(x, 1, 0),                              # [T, B, H]
+            l1["wh"], l1["bh"], l2["wx"], l2["bx"], l2["wh"], l2["bh"])
+        x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
+        state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
+        mask = jax.nn.sigmoid(_mm(x, params["dec"]["w"], cfg) + params["dec"]["b"])
+        return state, mask
 
     t_axis = x.ndim - 2
     for i, layer in enumerate(params["gru"]):
-        xproj = jnp.matmul(x, layer["wx"]) + layer["bx"]        # [*, T, 3H]
+        xproj = _mm(x, layer["wx"], cfg) + layer["bx"]          # [*, T, 3H]
         xproj_t = jnp.moveaxis(xproj, t_axis, 0)                # [T, *, 3H]
 
         def scan_fn(h, xp, _layer=layer):
-            h_new = _gru_recurrent(_layer, h, xp)
+            h_new = _gru_recurrent(_layer, h, xp, cfg)
             return h_new, h_new
 
         h_final, hs = jax.lax.scan(scan_fn, state[..., i, :], xproj_t)  # hs: [T, *, H]
         state = state.at[..., i, :].set(h_final)
         x = x + jnp.moveaxis(hs, 0, t_axis)
-    mask = jax.nn.sigmoid(jnp.matmul(x, params["dec"]["w"]) + params["dec"]["b"])
+    mask = jax.nn.sigmoid(_mm(x, params["dec"]["w"], cfg) + params["dec"]["b"])
     return state, mask
 
 

@@ -57,21 +57,27 @@ def step(params, state, re, im, config: Dict[str, Any] = None):
     # reference), then settle to the steady-state smoothing constant.
     boot = jnp.clip(1.0 / (count + 1.0), 1.0 - cfg["noise_alpha"], 1.0)[..., None]
 
-    gamma = power / jnp.maximum(noise, 1e-10)                   # posterior SNR
+    # SNRs are clipped to a physical range: beyond ~60 dB the gain is
+    # saturated anyway, and unbounded values make the recurrent state
+    # numerically chaotic (tiny rounding differences amplify).
+    snr_cap = 1e6
+    gamma = jnp.clip(power / jnp.maximum(noise, 1e-10), 0.0, snr_cap)
     xi = (cfg["dd_beta"] * state["prev_gain2_post"]
           + (1.0 - cfg["dd_beta"]) * jnp.maximum(gamma - 1.0, 0.0))  # a-priori SNR
+    xi = jnp.clip(xi, 0.0, snr_cap)
     gain = xi / (1.0 + xi)                                      # Wiener rule
 
-    # Speech-presence probability from the a-priori SNR gates noise updates.
-    presence = xi / (1.0 + xi)
-    rate = boot * (1.0 - presence)
+    # Speech-presence probability xi/(1+xi) gates noise updates; compute
+    # the complement as 1/(1+xi) directly (1 - presence cancels badly for
+    # large xi).
+    rate = boot / (1.0 + xi)
     new_noise = noise + rate * (power - noise)
     new_noise = jnp.maximum(new_noise, 1e-10)
 
     mask = jnp.maximum(gain, cfg["gain_floor"])
     new_state = {
         "noise": new_noise,
-        "prev_gain2_post": gain * gain * gamma,
+        "prev_gain2_post": jnp.clip(gain * gain * gamma, 0.0, snr_cap),
         "count": count + 1.0,
     }
     return new_state, mask

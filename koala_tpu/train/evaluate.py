@@ -72,6 +72,9 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
 def evaluate(params, config: Dict[str, Any], speech: np.ndarray,
              noise: np.ndarray) -> Dict[str, float]:
     """Run all three harness cases + SI-SDR; int16 fixture inputs."""
+    # Single-stream eval may run on a CPU device inside a TPU-backed
+    # process; pin the portable scan path.
+    config = dict(config, use_pallas=False)
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
     mixed = (speech.astype(np.int32) + noise.astype(np.int32))

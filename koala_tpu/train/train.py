@@ -55,6 +55,9 @@ def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_loss_fn(config: Dict[str, Any]):
+    # Force the XLA scan path: the fused Pallas recurrence is forward-only
+    # (inference); gradients flow through the lax.scan implementation.
+    config = dict(config, use_pallas=False)
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
     def loss_fn(params, noisy, clean):

@@ -143,8 +143,13 @@ class TestBatch:
             for start in range(0, t * FRAME_LENGTH, FRAME_LENGTH):
                 outs.append(k.process(pcm[i, start:start + FRAME_LENGTH].tolist()))
             k.delete()
-            np.testing.assert_array_equal(
-                batch_out[i], np.concatenate([np.asarray(o, np.int16) for o in outs]))
+            # chunked (sequence) vs per-frame (step) paths compile to
+            # different XLA programs; int16 outputs may differ by 1 LSB
+            # at rounding boundaries.
+            np.testing.assert_allclose(
+                batch_out[i],
+                np.concatenate([np.asarray(o, np.int16) for o in outs]),
+                atol=1)
 
     def test_per_stream_reset(self, access_key, mmse_model, rng):
         b, t = 2, 5

