@@ -89,7 +89,15 @@ def resolve_jax_device(spec: DeviceSpec):
         d = pick("cpu", spec.index)
         if d is not None:
             return d
-        # No CPU backend registered (e.g. JAX_PLATFORMS=tpu): fall back.
+        # The CPU backend may exist without being the default platform
+        # (e.g. jax_platforms="tpu,cpu"): query it explicitly.
+        try:
+            cpus = jax.devices("cpu")
+            if cpus:
+                return cpus[0]
+        except RuntimeError:
+            pass
+        # No CPU backend registered at all: fall back to the default device.
         return all_devices[0]
 
     # gpu/tpu: any accelerator platform satisfies the request.

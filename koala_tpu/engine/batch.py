@@ -31,7 +31,7 @@ from ..errors import (
     raise_with_stack,
 )
 from ..models import params_io
-from .core import make_engine, pcm_to_float
+from .core import make_engine
 from .stream import _float_to_pcm_np, validate_access_key
 
 
@@ -75,8 +75,8 @@ class KoalaBatch:
         params, config = params_io.load_params(model_path)
         self._engine = make_engine(config.get("kind", "mask_gru"), config)
         self._params = jax.device_put(params, self._device)
-        self._state = jax.device_put(
-            self._engine.init_state((batch_size,)), self._device)
+        with jax.default_device(self._device):
+            self._state = self._engine.init_state((batch_size,))
         self._handle = object()
 
         eng = self._engine
@@ -116,7 +116,7 @@ class KoalaBatch:
             raise KoalaInvalidArgumentError(
                 "Expected input of shape (%d, %d), got %s"
                 % (self._batch_size, FRAME_LENGTH, frames.shape))
-        hop = pcm_to_float(frames.astype(np.float32))
+        hop = frames.astype(np.float32) / 32768.0
         self._state, out = self._engine.step_jit(self._params, self._state, hop)
         return _float_to_pcm_np(np.asarray(out))
 
@@ -134,7 +134,7 @@ class KoalaBatch:
                 "Expected input of shape (%d, k*%d), got %s"
                 % (self._batch_size, FRAME_LENGTH, pcm.shape))
         t = pcm.shape[1] // FRAME_LENGTH
-        hops = pcm_to_float(pcm.astype(np.float32)).reshape(
+        hops = (pcm.astype(np.float32) / 32768.0).reshape(
             self._batch_size, t, FRAME_LENGTH)
         self._state, out = self._engine.sequence_jit(self._params, self._state, hops)
         return _float_to_pcm_np(np.asarray(out).reshape(self._batch_size, -1))
@@ -151,7 +151,7 @@ class KoalaBatch:
         t = -(-total // FRAME_LENGTH)
         padded = np.zeros((self._batch_size, t * FRAME_LENGTH), np.float32)
         padded[:, :n] = pcm.astype(np.float32)
-        hops = pcm_to_float(padded).reshape(self._batch_size, t, FRAME_LENGTH)
+        hops = (padded / 32768.0).reshape(self._batch_size, t, FRAME_LENGTH)
         self._state, out = self._engine.sequence_jit(self._params, self._state, hops)
         flat = np.asarray(out).reshape(self._batch_size, -1)
         return _float_to_pcm_np(flat[:, DELAY_SAMPLE:DELAY_SAMPLE + n])
@@ -168,7 +168,7 @@ class KoalaBatch:
                     raise KoalaInvalidArgumentError(
                         "stream index %d out of range [0, %d)" % (s, self._batch_size))
                 mask[s] = True
-        self._state = self._reset_jit(self._state, jnp.asarray(mask))
+        self._state = self._reset_jit(self._state, mask)
 
     def save_state(self) -> dict:
         """Snapshot all streams' state as host numpy arrays (checkpoint

@@ -36,7 +36,7 @@ from ..errors import (
     raise_with_stack,
 )
 from ..models import params_io
-from .core import make_engine, pcm_to_float
+from .core import make_engine
 
 _ACCESS_KEY_RE = _re.compile(r"^[A-Za-z0-9+/=]{8,}$")
 
@@ -85,7 +85,10 @@ class Koala:
         params, config = params_io.load_params(model_path)
         self._engine = make_engine(config.get("kind", "mask_gru"), config)
         self._params = jax.device_put(params, self._device)
-        self._state = jax.device_put(self._engine.init_state(()), self._device)
+        # Materialize state directly on the target device (a device_put
+        # from the default accelerator would round-trip through it).
+        with jax.default_device(self._device):
+            self._state = self._engine.init_state(())
         self._handle = object()   # sentinel; nulled by delete()
 
     # -- lifecycle ---------------------------------------------------------
@@ -106,7 +109,9 @@ class Koala:
             raise KoalaInvalidArgumentError(
                 "Length of input frame %d does not match required frame length %d"
                 % (len(pcm), FRAME_LENGTH))
-        hop = pcm_to_float(np.asarray(pcm, dtype=np.float32))
+        # numpy-only conversion: a jnp op here would materialize on the
+        # DEFAULT device and drag execution off self._device.
+        hop = np.asarray(pcm, dtype=np.float32) / 32768.0
         self._state, out = self._engine.step_jit(self._params, self._state, hop)
         return _float_to_pcm_np(np.asarray(out)).tolist()
 
@@ -115,7 +120,8 @@ class Koala:
         newly created object (reference contract: include/pv_koala.h:83-90,
         verified by binding/python/test_koala.py:116-129)."""
         self._check_handle()
-        self._state = jax.device_put(self._engine.init_state(()), self._device)
+        with jax.default_device(self._device):
+            self._state = self._engine.init_state(())
 
     def delete(self) -> None:
         """Release resources; further calls raise KoalaInvalidStateError."""
@@ -137,7 +143,7 @@ class Koala:
         t = -(-total // FRAME_LENGTH)
         padded = np.zeros((t * FRAME_LENGTH,), np.float32)
         padded[:n] = np.asarray(pcm, np.float32)
-        hops = pcm_to_float(padded).reshape(t, FRAME_LENGTH)
+        hops = (padded / 32768.0).reshape(t, FRAME_LENGTH)
         self._state, out = self._engine.sequence_jit(self._params, self._state, hops)
         flat = np.asarray(out).reshape(-1)
         return _float_to_pcm_np(flat[DELAY_SAMPLE:DELAY_SAMPLE + n])

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from .constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
 from .device import parse_device, resolve_jax_device
 from .engine.batch import masked_reset
-from .engine.core import make_engine, pcm_to_float
+from .engine.core import make_engine
 from .engine.stream import _float_to_pcm_np, validate_access_key
 from .errors import ERROR_STACK, KoalaInvalidArgumentError, raise_with_stack
 from .hostlib import StreamPool
@@ -59,8 +59,8 @@ class StreamingServer:
         params, config = params_io.load_params(model_path)
         self._engine = make_engine(config.get("kind", "mask_gru"), config)
         self._params = jax.device_put(params, self._device)
-        self._state = jax.device_put(
-            self._engine.init_state((num_streams,)), self._device)
+        with jax.default_device(self._device):
+            self._state = self._engine.init_state((num_streams,))
 
         self._pool = StreamPool(num_streams, FRAME_LENGTH, capacity_frames)
         self._out_queues: List[collections.deque] = [
@@ -116,15 +116,15 @@ class StreamingServer:
                 pending = self._reset_pending.copy()
                 self._reset_pending[:] = False
             if pending.any():
-                self._state = self._reset_jit(self._state, jnp.asarray(pending))
+                self._state = self._reset_jit(self._state, pending)
 
             batch, active, n = self._pool.gather()
             if n == 0:
                 time.sleep(self._poll)
                 continue
-            hop = pcm_to_float(batch.astype(np.float32))
+            hop = batch.astype(np.float32) / 32768.0
             self._state, out = self._engine.step_masked_jit(
-                self._params, self._state, hop, jnp.asarray(active))
+                self._params, self._state, hop, active)
             out_np = _float_to_pcm_np(np.asarray(out))
             with self._out_lock:
                 for i in np.nonzero(active)[0]:

@@ -1,0 +1,66 @@
+"""Performance gate tests — the analog of the reference's perf suite
+(binding/python/test_koala_perf.py: N timed iterations, first discarded,
+mean wall-clock under a threshold).
+
+These run on the CPU backend (CI-style), so thresholds are lenient
+real-time-factor sanity gates, not the TPU numbers (bench.py measures
+those on hardware). The gate catches order-of-magnitude regressions
+(e.g. an accidental recompile per call or a host-sync in the hot loop).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from koala_tpu.constants import FRAME_LENGTH, SAMPLE_RATE
+from koala_tpu.engine.core import make_engine
+from koala_tpu.models import mask_gru
+
+NUM_ITERATIONS = 5
+# 60 s of audio per iteration must process faster than real time even on a
+# CI-grade CPU (the reference's weakest gate is RTF <= 0.43 on a rpi3).
+RTF_THRESHOLD = 1.0
+
+
+def test_batched_throughput_gate(rng):
+    b, t = 16, 100
+    engine = make_engine("mask_gru", mask_gru.DEFAULT_CONFIG)
+    params = mask_gru.init_params(jax.random.PRNGKey(0))
+    state = engine.init_state((b,))
+    hops = (rng.standard_normal((b, t, FRAME_LENGTH)) * 0.1).astype(np.float32)
+
+    # warmup / compile (discarded, reference methodology)
+    state, out = engine.sequence_jit(params, state, hops)
+    np.asarray(out)
+
+    times = []
+    for _ in range(NUM_ITERATIONS):
+        start = time.perf_counter()
+        state, out = engine.sequence_jit(params, state, hops)
+        np.asarray(out)  # host sync
+        times.append(time.perf_counter() - start)
+
+    audio_seconds = b * t * FRAME_LENGTH / SAMPLE_RATE
+    rtf = float(np.mean(times)) / audio_seconds
+    assert rtf < RTF_THRESHOLD, f"RTF {rtf:.3f} exceeds gate {RTF_THRESHOLD}"
+
+
+def test_single_stream_process_latency(access_key, mmse_model):
+    """Mean per-frame process() latency must beat the 16 ms real-time
+    budget (the mic-loop constraint, SURVEY.md §3.5)."""
+    import koala_tpu
+
+    k = koala_tpu.create(access_key, model_path=mmse_model)
+    frame = [0] * FRAME_LENGTH
+    k.process(frame)  # warmup / compile
+
+    start = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        k.process(frame)
+    per_frame = (time.perf_counter() - start) / n
+    k.delete()
+    assert per_frame < 0.016, f"per-frame latency {per_frame * 1000:.2f} ms"
