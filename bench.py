@@ -41,9 +41,9 @@ def main() -> None:
                           mask_gru.DEFAULT_CONFIG)
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
-    batch = int(os.environ.get("KOALA_BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("KOALA_BENCH_BATCH", "512"))
     frames = int(os.environ.get("KOALA_BENCH_FRAMES", "376"))
-    iters = int(os.environ.get("KOALA_BENCH_ITERS", "20"))
+    iters = int(os.environ.get("KOALA_BENCH_ITERS", "30"))
 
     device = jax.devices()[0]
     params = jax.device_put(params, device)

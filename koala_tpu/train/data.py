@@ -115,7 +115,11 @@ class MixtureSampler:
                 # pure noise -> silence target; level like real noise
                 level = 10.0 ** (self.rng.uniform(-30.0, -6.0) / 20.0)
                 n_rms = np.sqrt(np.mean(n ** 2)) + 1e-9
-                noisy[b] = n * (level / n_rms)
+                scaled = n * (level / n_rms)
+                peak = np.max(np.abs(scaled))
+                if peak > 0.98:
+                    scaled *= 0.98 / peak
+                noisy[b] = scaled
                 continue
             snr_db = self.rng.uniform(-5.0, 20.0)
             n_rms = np.sqrt(np.mean(n ** 2)) + 1e-9

@@ -68,6 +68,8 @@ class DeviceSampler:
 
         level = 10.0 ** (jax.random.uniform(ks[6], (batch, 1), minval=-30.0, maxval=-6.0) / 20.0)
         n_only = n * (level / n_rms)
+        n_peak = jnp.max(jnp.abs(n_only), axis=1, keepdims=True)
+        n_only = n_only * jnp.minimum(1.0, 0.98 / jnp.maximum(n_peak, eps))
 
         u = jax.random.uniform(ks[7], (batch, 1))
         zeros = jnp.zeros_like(s)

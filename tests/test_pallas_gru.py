@@ -56,10 +56,16 @@ def test_kernel_matches_scan_reference(rng):
         l1["wh"], l1["bh"], l2["wx"], l2["bx"], l2["wh"], l2["bh"],
         interpret=True)
 
-    np.testing.assert_allclose(np.asarray(jnp.moveaxis(y, 0, 1)),
-                               np.asarray(ref_y), atol=2e-5, rtol=1e-4)
+    # The kernel streams xp1/x1/y as bf16 (one extra rounding vs the f32
+    # scan path), so comparison is at bf16 resolution, not f32.
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(y, 0, 1).astype(jnp.float32)),
+                               np.asarray(ref_y), atol=4e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(h_final, 0, 1)),
-                               np.asarray(ref_state), atol=2e-5, rtol=1e-4)
+                               np.asarray(ref_state), atol=4e-2, rtol=2e-2)
+    # and tightly correlated
+    a = np.asarray(jnp.moveaxis(y, 0, 1).astype(jnp.float32)).ravel()
+    b_ = np.asarray(ref_y).ravel()
+    assert np.corrcoef(a, b_)[0, 1] > 0.99999
 
 
 def test_engine_pallas_flag_forced_on_cpu_interpret(rng):
