@@ -1,0 +1,59 @@
+"""Golden regression tests: per-frame RMS profiles of enhanced output for a
+fixed seeded input, against recorded values.
+
+Loose tolerances (the profiles move only if behavior genuinely changes —
+new DSP geometry, changed gain rules — not with benign recompiles). The
+golden file is regenerated intentionally via
+`python -m tests.test_golden` when a behavior change is deliberate.
+"""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from koala_tpu.constants import FRAME_LENGTH
+from koala_tpu.engine.core import make_engine
+from koala_tpu.models import identity, mmse
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "rms_profiles.json")
+
+
+def _profile(kind, module):
+    rng = np.random.default_rng(424242)
+    t = 40
+    # deterministic "tone + noise" input
+    tt = np.arange(t * FRAME_LENGTH) / 16000.0
+    sig = 0.2 * np.sin(2 * np.pi * 440 * tt) * (np.sin(2 * np.pi * 1.5 * tt) > 0)
+    sig = sig + rng.standard_normal(t * FRAME_LENGTH) * 0.02
+    hops = sig.astype(np.float32).reshape(1, t, FRAME_LENGTH)
+
+    engine = make_engine(kind, module.DEFAULT_CONFIG)
+    params = module.init_params(jax.random.PRNGKey(0))
+    state = engine.init_state((1,))
+    _, out = engine.sequence(params, state, hops)
+    out = np.asarray(out).reshape(t, FRAME_LENGTH)
+    return [round(float(np.sqrt(np.mean(f ** 2))), 6) for f in out]
+
+
+CASES = {"identity": identity, "mmse": mmse}
+
+
+def test_golden_profiles():
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    for kind, module in CASES.items():
+        got = _profile(kind, module)
+        want = golden[kind]
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=2e-3,
+                                   err_msg=f"golden RMS profile drifted for {kind}")
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump({k: _profile(k, m) for k, m in CASES.items()}, f, indent=1)
+    print("regenerated", GOLDEN_PATH)
