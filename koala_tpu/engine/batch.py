@@ -15,7 +15,7 @@ so one [B] mask broadcasts over every leaf.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import FFT_SIZE, FRAME_LENGTH, NUM_BINS
+from ..constants import FRAME_LENGTH
 from ..models.registry import get_model
 from ..ops import stft as stft_ops
 

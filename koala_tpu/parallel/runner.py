@@ -14,18 +14,17 @@ its addressable shard of each global batch).
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, Optional
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
-from ..engine.core import make_engine, pcm_to_float
+from ..constants import FRAME_LENGTH, SAMPLE_RATE
+from ..engine.core import make_engine
 from ..models import params_io
-from .mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from .mesh import make_mesh, replicate, shard_batch
 
 
 class CorpusRunner:

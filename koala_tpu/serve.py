@@ -25,7 +25,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
 from .device import parse_device, resolve_jax_device

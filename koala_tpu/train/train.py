@@ -24,7 +24,7 @@ import optax
 from ..constants import DELAY_SAMPLE, FRAME_LENGTH
 from ..engine.core import make_engine
 from ..models import mask_gru
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import replicate, shard_batch
 from .data import MixtureSampler
 
 
