@@ -32,12 +32,14 @@ import numpy as np
 
 from ..constants import FFT_SIZE, FRAME_LENGTH, NUM_BINS
 
-# MXU precision for the DFT matmuls. "high" (default) = 3-pass bf16 —
-# f32-equivalent accuracy at ~2x the TPU speed of "highest" (true f32);
-# "default" = single-pass bf16 (fastest; ~0.2% relative spectral error,
-# still far inside the 0.02 RMS harness tolerance). CPU backends ignore
-# the setting and always compute full f32, so tests are unaffected.
-DFT_PRECISION = os.environ.get("KOALA_STFT_PRECISION", "high")
+# MXU precision for the DFT matmuls. "default" (the default) = single-pass
+# bf16 — the fastest MXU path; measured on the reference fixture mix it is
+# quality-neutral (SI-SDR 16.126 vs 16.125 dB at "high", RMS-harness
+# deviation unchanged) because the ~0.4% relative spectral error sits
+# ~45 dB below the signal, far inside the 0.02 RMS tolerance. "high" =
+# 3-pass bf16 (f32-equivalent accuracy, ~3x DFT cost); "highest" = true
+# f32. CPU backends compute full f32 regardless, so tests are unaffected.
+DFT_PRECISION = os.environ.get("KOALA_STFT_PRECISION", "default")
 
 
 @functools.lru_cache(maxsize=None)
