@@ -177,12 +177,11 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
         from ..ops.pallas.gru import gru_stack_pallas
 
         l1, l2 = params["gru"]
-        xp1 = _mm(x, l1["wx"], cfg) + l1["bx"]                  # [B, T, 3H]
         y, h_final = gru_stack_pallas(
             jnp.moveaxis(state, 1, 0),                          # [L, B, H]
-            jnp.moveaxis(xp1, 1, 0),                            # [T, B, 3H]
             jnp.moveaxis(x, 1, 0),                              # [T, B, H]
-            l1["wh"], l1["bh"], l2["wx"], l2["bx"], l2["wh"], l2["bh"])
+            l1["wx"], l1["bx"], l1["wh"], l1["bh"],
+            l2["wx"], l2["bx"], l2["wh"], l2["bh"])
         x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
         state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
         mask = jax.nn.sigmoid(_mm(x, params["dec"]["w"], cfg) + params["dec"]["b"])

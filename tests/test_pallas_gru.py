@@ -48,12 +48,11 @@ def test_kernel_matches_scan_reference(rng):
 
     ref_y, ref_state = reference(x, state)
 
-    xp1 = mask_gru._mm(x, l1["wx"], cfg) + l1["bx"]
     y, h_final = gru_stack_pallas(
         jnp.moveaxis(state, 1, 0),
-        jnp.moveaxis(xp1, 1, 0),
         jnp.moveaxis(x, 1, 0),
-        l1["wh"], l1["bh"], l2["wx"], l2["bx"], l2["wh"], l2["bh"],
+        l1["wx"], l1["bx"], l1["wh"], l1["bh"],
+        l2["wx"], l2["bx"], l2["wh"], l2["bh"],
         interpret=True)
 
     # The kernel streams xp1/x1/y as bf16 (one extra rounding vs the f32
