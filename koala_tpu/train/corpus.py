@@ -1,0 +1,354 @@
+"""Multi-speaker synthetic speech/noise corpus generator.
+
+Why this exists: the reference engine passes its behavioral harness
+(reference binding/python/test_koala.py:75,106-114 — per-frame RMS
+deviation < 0.02) on *any* input speech; its fixtures are just one
+instance. To train a model that generalizes the same way — with zero
+egress, so no LibriSpeech — we synthesize a *family* of speakers and
+noises wide enough that held-out draws (fresh seeds) and real recorded
+speech both fall inside the training distribution.
+
+Speech model (Klatt-flavored source-filter, rendered as a harmonic
+sinusoid bank + shaped noise):
+  source   — glottal harmonics with per-speaker spectral tilt, jitter,
+             f0 contour (declination + slow wander + syllable accents)
+  filter   — cascade of 4 formant resonators; per-syllable vowel targets
+             drawn from a scaled vowel polygon, with continuous formant
+             trajectories (coarticulation) between targets
+  unvoiced — sibilant/non-sibilant fricatives, plosive gaps+bursts,
+             aspiration mixed by per-speaker breathiness
+  prosody  — syllable rate, word grouping, inter-word pauses, utterance
+             level gain shape
+
+Noise family: colored (random slope), band-limited, AM-modulated, tonal
+hum/fan with harmonics, impulsive clicks, and babble built from the same
+speech synthesizer.
+
+Everything is plain NumPy on the host: corpus generation is a one-time
+offline step (scripts/make_corpus.py); training-time mixing runs on
+device (train/device_sampler.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import SAMPLE_RATE
+
+CTRL_HOP = 160          # 10 ms control-frame hop for all slow trajectories
+MAX_VOICED_HZ = 7400.0  # highest synthesized harmonic
+
+# Vowel polygon (adult neutral tract, scaled per speaker): (F1, F2, F3).
+_VOWELS = np.array([
+    (310, 2290, 2870),   # /i/
+    (430, 2020, 2550),   # /I/
+    (530, 1840, 2480),   # /e/
+    (660, 1720, 2410),   # /ae/
+    (730, 1090, 2440),   # /a/
+    (570, 840, 2410),    # /o/
+    (440, 1020, 2240),   # /U/
+    (300, 870, 2240),    # /u/
+    (640, 1190, 2390),   # /^/
+    (490, 1350, 1690),   # /er/ (r-colored)
+], np.float64)
+
+
+def sample_speaker(rng: np.random.Generator) -> Dict[str, float]:
+    """Draw one speaker's fixed parameters (sexes/ages via f0 x tract)."""
+    f0_base = float(np.exp(rng.uniform(np.log(85.0), np.log(280.0))))
+    # shorter vocal tract (higher formants) correlates with higher f0
+    corr = (np.log(f0_base) - np.log(85.0)) / (np.log(280.0) - np.log(85.0))
+    formant_scale = float(0.9 + 0.25 * corr + rng.uniform(-0.06, 0.06))
+    return {
+        "f0_base": f0_base,
+        "f0_sigma": float(rng.uniform(0.08, 0.25)),      # log-f0 wander
+        "formant_scale": formant_scale,
+        "bw_scale": float(rng.uniform(0.8, 1.5)),        # formant bandwidths
+        "tilt_db_oct": float(rng.uniform(-15.0, -7.0)),  # source rolloff
+        "breathiness": float(rng.uniform(0.02, 0.22)),
+        "rate_sps": float(rng.uniform(2.6, 5.8)),        # syllables/s
+        "jitter": float(rng.uniform(0.002, 0.012)),
+        "fric_gain": float(rng.uniform(0.5, 1.6)),
+    }
+
+
+def _formant_gain_db(freqs: np.ndarray, formants: np.ndarray,
+                     bandwidths: np.ndarray) -> np.ndarray:
+    """Cascade resonator log-magnitude at ``freqs`` [K] for per-control-frame
+    formants [C, nf] / bandwidths [nf] -> [C, K] dB."""
+    f = freqs[None, None, :]                       # [1, 1, K]
+    F = formants[:, :, None]                       # [C, nf, 1]
+    B = bandwidths[None, :, None]                  # [1, nf, 1]
+    num = F * F + (B / 2.0) ** 2
+    den = (f * f - F * F) ** 2 / np.maximum(4.0 * F * F, 1.0) + (B / 2.0) ** 2
+    gain_db = 10.0 * (np.log10(num) - np.log10(np.maximum(den, 1e-12)))
+    return gain_db.sum(axis=1)                     # [C, K]
+
+
+def _smooth(x: np.ndarray, win: int) -> np.ndarray:
+    if win <= 1:
+        return x
+    k = np.hanning(win)
+    return np.convolve(x, k / k.sum(), mode="same")
+
+
+def _upsample(ctrl: np.ndarray, n: int) -> np.ndarray:
+    """Control-rate [C] or [K, C] -> sample-rate [n] / [K, n] (linear)."""
+    c = ctrl.shape[-1]
+    src = np.arange(c) * CTRL_HOP
+    dst = np.arange(n)
+    if ctrl.ndim == 1:
+        return np.interp(dst, src, ctrl)
+    out = np.empty(ctrl.shape[:-1] + (n,), np.float64)
+    for i in range(ctrl.shape[0]):
+        out[i] = np.interp(dst, src, ctrl[i])
+    return out
+
+
+def synth_utterance(rng: np.random.Generator,
+                    duration_s: float,
+                    speaker: Optional[Dict[str, float]] = None) -> np.ndarray:
+    """One utterance, float32 in [-1, 1], peak-normalized to ~0.4."""
+    spk = speaker or sample_speaker(rng)
+    n = int(duration_s * SAMPLE_RATE)
+    n_ctrl = n // CTRL_HOP + 2
+    t_ctrl = np.arange(n_ctrl) * CTRL_HOP / SAMPLE_RATE
+
+    # ---- prosodic skeleton: syllables grouped into words with pauses ----
+    syl_dur = 1.0 / spk["rate_sps"]
+    events: List[Tuple[float, float, int, bool]] = []  # (t0, t1, vowel, fric)
+    pos = float(rng.uniform(0.0, 0.12))
+    while pos < duration_s:
+        n_syl = int(rng.integers(1, 5))
+        for _ in range(n_syl):
+            d = syl_dur * float(rng.uniform(0.6, 1.5))
+            events.append((pos, min(pos + d, duration_s),
+                           int(rng.integers(len(_VOWELS))),
+                           bool(rng.random() < 0.55)))
+            pos += d
+        pos += float(rng.uniform(0.06, 0.35))  # inter-word pause
+
+    # ---- control tracks -------------------------------------------------
+    voiced_env = np.zeros(n_ctrl)
+    formant_tracks = np.zeros((n_ctrl, 3))
+    fric_env = np.zeros(n_ctrl)
+    plosive_env = np.zeros(n_ctrl)
+    accents = np.zeros(n_ctrl)
+    last_vowel = _VOWELS[int(rng.integers(len(_VOWELS)))]
+    for (t0, t1, vi, has_fric) in events:
+        i0, i1 = int(t0 / 0.01), min(int(t1 / 0.01), n_ctrl - 1)
+        if i1 <= i0:
+            continue
+        target = _VOWELS[vi] * (1.0 + rng.uniform(-0.05, 0.05, 3))
+        span = i1 - i0
+        # coarticulation: glide from previous vowel over the first 40%
+        glide = max(1, int(span * 0.4))
+        ramp = np.linspace(0.0, 1.0, glide)[:, None]
+        formant_tracks[i0:i0 + glide] = last_vowel * (1 - ramp) + target * ramp
+        formant_tracks[i0 + glide:i1] = target
+        last_vowel = target
+        voiced_env[i0:i1] = rng.uniform(0.65, 1.0)
+        accents[i0:i1] = rng.uniform(-0.1, 0.25)
+        if has_fric:
+            # onset consonant: fricative or plosive occupying ~25% of syllable
+            c_len = max(1, int(span * rng.uniform(0.15, 0.35)))
+            if rng.random() < 0.6:
+                fric_env[i0:i0 + c_len] = rng.uniform(0.4, 1.0)
+                voiced_env[i0:i0 + c_len] *= 0.25
+            else:
+                voiced_env[i0:i0 + c_len] = 0.0     # closure gap
+                plosive_env[min(i0 + c_len, n_ctrl - 1)] = rng.uniform(0.5, 1.0)
+    # fill silent-region formants with the neighbor values (no zeros)
+    held = formant_tracks.sum(axis=1) > 0
+    if held.any():
+        idx = np.where(held, np.arange(n_ctrl), -1)
+        np.maximum.accumulate(idx, out=idx)          # forward-fill
+        idx = np.where(idx < 0, int(np.argmax(held)), idx)
+        formant_tracks = formant_tracks[idx]
+    else:
+        formant_tracks[:] = last_vowel
+    voiced_env = _smooth(voiced_env, 7)
+    fric_env = _smooth(fric_env, 5)
+
+    # ---- f0 contour: declination + wander + accents + jitter ------------
+    log_f0 = (np.log(spk["f0_base"])
+              - 0.12 * t_ctrl / max(duration_s, 1.0)
+              + spk["f0_sigma"] * _smooth(rng.standard_normal(n_ctrl), 41)
+              + 0.35 * _smooth(accents, 15))
+    f0_ctrl = np.exp(log_f0)
+
+    # ---- harmonic amplitudes at control rate ----------------------------
+    k_max = max(3, int(MAX_VOICED_HZ / float(f0_ctrl.min())))
+    harmonics = np.arange(1, k_max + 1, dtype=np.float64)
+    scale = spk["formant_scale"]
+    formants4 = np.concatenate(
+        [formant_tracks * scale,
+         np.full((n_ctrl, 1), 3350.0 * scale)], axis=1)      # F4 fixed-ish
+    bandwidths = np.array([90.0, 110.0, 170.0, 250.0]) * spk["bw_scale"]
+
+    freqs_k = harmonics[None, :] * f0_ctrl[:, None]           # [C, K]
+    # evaluate cascade gain per control frame at each harmonic frequency
+    gains_db = np.empty((n_ctrl, k_max))
+    for c in range(0, n_ctrl, 64):                            # chunk the einsum
+        sl = slice(c, min(c + 64, n_ctrl))
+        f = freqs_k[sl][:, None, :]
+        F = formants4[sl][:, :, None]
+        B = bandwidths[None, :, None]
+        num = F * F + (B / 2.0) ** 2
+        den = (f * f - F * F) ** 2 / np.maximum(4.0 * F * F, 1.0) + (B / 2.0) ** 2
+        gains_db[sl] = (10.0 * (np.log10(num) - np.log10(np.maximum(den, 1e-12)))
+                        ).sum(axis=1)
+    tilt_db = spk["tilt_db_oct"] * np.log2(np.maximum(freqs_k, 50.0) / 100.0)
+    amp = 10.0 ** ((gains_db + tilt_db) / 20.0)
+    amp[freqs_k > MAX_VOICED_HZ] = 0.0
+    amp[freqs_k > SAMPLE_RATE / 2 - 200] = 0.0
+    amp *= voiced_env[:, None]
+
+    # ---- render harmonics at sample rate ---------------------------------
+    f0_s = _upsample(f0_ctrl, n) * (
+        1.0 + spk["jitter"] * _smooth(rng.standard_normal(n), 9))
+    phase = 2.0 * np.pi * np.cumsum(f0_s) / SAMPLE_RATE
+    amp_s = _upsample(amp.T, n)                               # [K, n]
+    phases0 = rng.uniform(0, 2 * np.pi, k_max)
+    voiced = np.einsum("kn,kn->n", amp_s,
+                       np.sin(harmonics[:, None] * phase[None, :]
+                              + phases0[:, None]))
+    vmax = np.max(np.abs(voiced)) + 1e-9
+    voiced /= vmax
+
+    # ---- aspiration + fricatives + plosive bursts ------------------------
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    fgrid = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
+    sib = rng.random() < 0.6
+    lo, hi = ((2800, 7900) if sib else (1200, 6000))
+    band = np.where((fgrid > lo) & (fgrid < hi), 1.0, 0.02)
+    fric_noise = np.fft.irfft(spec * band, n)
+    fric_noise /= np.max(np.abs(fric_noise)) + 1e-9
+    asp_noise = np.fft.irfft(spec * np.exp(-fgrid / 3000.0), n)
+    asp_noise /= np.max(np.abs(asp_noise)) + 1e-9
+
+    fric_s = _upsample(fric_env, n)
+    voiced_s = _upsample(voiced_env, n)
+    burst = np.zeros(n)
+    for c in np.nonzero(plosive_env)[0]:
+        s0 = c * CTRL_HOP
+        blen = int(rng.uniform(0.005, 0.03) * SAMPLE_RATE)
+        if s0 + blen < n:
+            burst[s0:s0 + blen] = (plosive_env[c]
+                                   * np.hanning(blen * 2)[blen:]
+                                   * rng.standard_normal(blen) * 0.8)
+
+    x = (voiced
+         + spk["breathiness"] * asp_noise * voiced_s
+         + spk["fric_gain"] * fric_noise * fric_s
+         + burst)
+    peak = np.max(np.abs(x)) + 1e-9
+    return (x / peak * 0.4).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Noise family
+# --------------------------------------------------------------------------
+
+def synth_noise_clip(rng: np.random.Generator, duration_s: float,
+                     kind: Optional[str] = None) -> np.ndarray:
+    """One noise clip, float32, unit RMS (caller sets the level)."""
+    n = int(duration_s * SAMPLE_RATE)
+    kinds = ("colored", "band", "am", "tonal", "impulsive")
+    kind = kind or kinds[int(rng.integers(len(kinds)))]
+    t = np.arange(n) / SAMPLE_RATE
+    w = rng.standard_normal(n)
+    spec = np.fft.rfft(w)
+    fgrid = np.maximum(np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE), 1.0)
+
+    if kind == "colored":
+        slope = rng.uniform(0.0, 2.5)
+        x = np.fft.irfft(spec / fgrid ** (slope / 2.0), n)
+    elif kind == "band":
+        lo = float(np.exp(rng.uniform(np.log(80.0), np.log(3000.0))))
+        hi = lo * float(np.exp(rng.uniform(0.5, 2.5)))
+        soft = np.exp(-0.5 * ((np.log(fgrid) - np.log(np.sqrt(lo * hi)))
+                              / (0.5 * np.log(hi / lo))) ** 2)
+        x = np.fft.irfft(spec * soft, n)
+    elif kind == "am":
+        slope = rng.uniform(0.3, 1.5)
+        base = np.fft.irfft(spec / fgrid ** (slope / 2.0), n)
+        rate = rng.uniform(0.3, 8.0)
+        depth = rng.uniform(0.3, 0.95)
+        am = 1.0 + depth * np.sin(2 * np.pi * rate * t + rng.uniform(0, 6.28))
+        x = base * am
+    elif kind == "tonal":
+        base_f = rng.choice([50.0, 60.0, 100.0, 120.0,
+                             float(rng.uniform(70, 400))])
+        x = np.zeros(n)
+        for h in range(1, int(rng.integers(2, 8))):
+            x += (rng.uniform(0.3, 1.0) / h
+                  * np.sin(2 * np.pi * base_f * h * t + rng.uniform(0, 6.28)))
+        x += 0.3 * np.fft.irfft(spec / fgrid ** 0.5, n)  # broadband floor
+    else:  # impulsive: clicks over a quiet floor
+        x = 0.1 * np.fft.irfft(spec / fgrid ** 0.5, n)
+        for _ in range(int(rng.integers(3, 30))):
+            p = int(rng.integers(0, n - 400))
+            clen = int(rng.integers(30, 400))
+            x[p:p + clen] += (rng.uniform(2.0, 8.0)
+                              * np.hanning(clen) * rng.standard_normal(clen))
+    rms = np.sqrt(np.mean(x * x)) + 1e-9
+    return (x / rms).astype(np.float32)
+
+
+def synth_babble(rng: np.random.Generator, duration_s: float,
+                 n_talkers: int = 6) -> np.ndarray:
+    """Babble noise: overlapping synthetic talkers, unit RMS."""
+    n = int(duration_s * SAMPLE_RATE)
+    x = np.zeros(n, np.float64)
+    for _ in range(n_talkers):
+        u = synth_utterance(rng, duration_s)
+        x += u[:n] * rng.uniform(0.5, 1.0)
+    rms = np.sqrt(np.mean(x * x)) + 1e-9
+    return (x / rms).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Tape builders (inputs to DeviceSampler / MixtureSampler)
+# --------------------------------------------------------------------------
+
+def build_speech_tape(seed: int, n_utterances: int,
+                      dur_range: Tuple[float, float] = (2.5, 5.0),
+                      log_every: int = 0) -> np.ndarray:
+    """Concatenated multi-speaker speech, float32 peak ~0.4."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    for i in range(n_utterances):
+        dur = float(rng.uniform(*dur_range))
+        parts.append(synth_utterance(rng, dur))
+        if log_every and (i + 1) % log_every == 0:
+            print("  speech %d/%d" % (i + 1, n_utterances), flush=True)
+    return np.concatenate(parts)
+
+
+def build_noise_tape(seed: int, n_clips: int,
+                     dur_range: Tuple[float, float] = (3.0, 6.0),
+                     babble_frac: float = 0.15,
+                     log_every: int = 0) -> np.ndarray:
+    """Concatenated noise clips, float32, each scaled to RMS ~0.05."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    for i in range(n_clips):
+        dur = float(rng.uniform(*dur_range))
+        if rng.random() < babble_frac:
+            clip = synth_babble(rng, dur, int(rng.integers(4, 9)))
+        else:
+            clip = synth_noise_clip(rng, dur)
+        parts.append(clip * 0.05)
+        if log_every and (i + 1) % log_every == 0:
+            print("  noise %d/%d" % (i + 1, n_clips), flush=True)
+    return np.concatenate(parts)
+
+
+__all__ = [
+    "sample_speaker", "synth_utterance", "synth_noise_clip", "synth_babble",
+    "build_speech_tape", "build_noise_tape",
+]

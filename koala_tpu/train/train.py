@@ -42,6 +42,18 @@ def snr_loss(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarr
     return jnp.mean(10.0 * jnp.log10((err + eps) / (sig + eps)))
 
 
+def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Mean |per-frame RMS difference| over 256-sample frames — the exact
+    quantity the acceptance harness bounds (reference binding/python/
+    test_koala.py:75: per-frame RMS deviation < 0.02 at fullscale 1.0)."""
+    def frms(x):
+        b, s = x.shape
+        fr = x.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
+        return jnp.sqrt(jnp.mean(fr * fr, axis=-1) + 1e-10)
+
+    return jnp.mean(jnp.abs(frms(est) - frms(ref)))
+
+
 def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """L1 between STFT magnitudes of est/ref waveforms [B, T*hop]."""
     from ..ops import stft as stft_ops
@@ -68,7 +80,8 @@ def make_loss_fn(config: Dict[str, Any]):
         _, out = engine.sequence(params, state, hops)
         est = out.reshape(b, s)
         ref = delayed(clean)
-        loss = snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
+        loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
+                + 60.0 * frame_rms_l1(est, ref))
         return loss
 
     return loss_fn
@@ -202,4 +215,4 @@ def train_on_device(
 
 
 __all__ = ["train", "train_on_device", "make_train_step", "make_loss_fn",
-           "snr_loss", "spectral_l1", "delayed"]
+           "snr_loss", "spectral_l1", "frame_rms_l1", "delayed"]

