@@ -95,15 +95,38 @@ def _smooth(x: np.ndarray, win: int) -> np.ndarray:
 
 
 def _upsample(ctrl: np.ndarray, n: int) -> np.ndarray:
-    """Control-rate [C] or [K, C] -> sample-rate [n] / [K, n] (linear)."""
+    """Control-rate [..., C] -> sample-rate [..., n] (linear), vectorized
+    over leading dims (equivalent to per-row np.interp on the in-range
+    grid; control tracks always cover the sample span, n_ctrl = n//hop+2)."""
     c = ctrl.shape[-1]
-    src = np.arange(c) * CTRL_HOP
-    dst = np.arange(n)
-    if ctrl.ndim == 1:
-        return np.interp(dst, src, ctrl)
-    out = np.empty(ctrl.shape[:-1] + (n,), np.float64)
-    for i in range(ctrl.shape[0]):
-        out[i] = np.interp(dst, src, ctrl[i])
+    pos = np.arange(n, dtype=np.float64) / CTRL_HOP
+    i0 = np.minimum(pos.astype(np.int64), c - 2)
+    w = (pos - i0).astype(np.float32)
+    lo = ctrl[..., i0]
+    hi = ctrl[..., i0 + 1]
+    return lo + (hi - lo) * w
+
+
+def _render_harmonics(phase: np.ndarray, amp_s: np.ndarray,
+                      phases0: np.ndarray) -> np.ndarray:
+    """sum_k amp_s[k] * sin((k+1)*phase + phases0[k]) without per-harmonic
+    sin calls: rotate the unit phasor (cos(phase), sin(phase)) once per
+    harmonic (angle-addition recurrence), so the whole bank costs O(K*n)
+    float32 mul-adds. Matches the direct sin-bank to ~1e-4 (rotation error
+    grows linearly in K, K <= ~130)."""
+    s1 = np.sin(phase).astype(np.float32)
+    c1 = np.cos(phase).astype(np.float32)
+    cp = np.cos(phases0).astype(np.float32)
+    sp = np.sin(phases0).astype(np.float32)
+    nz = np.nonzero(amp_s.any(axis=1))[0]
+    k_top = int(nz[-1]) + 1 if nz.size else 0
+    out = np.zeros(phase.shape[0], np.float32)
+    sk, ck = s1.copy(), c1.copy()
+    for k in range(k_top):
+        if k:
+            sk, ck = sk * c1 + ck * s1, ck * c1 - sk * s1
+        if amp_s[k].any():
+            out += amp_s[k] * (sk * cp[k] + ck * sp[k])
     return out
 
 
@@ -210,11 +233,9 @@ def synth_utterance(rng: np.random.Generator,
     f0_s = _upsample(f0_ctrl, n) * (
         1.0 + spk["jitter"] * _smooth(rng.standard_normal(n), 9))
     phase = 2.0 * np.pi * np.cumsum(f0_s) / SAMPLE_RATE
-    amp_s = _upsample(amp.T, n)                               # [K, n]
+    amp_s = _upsample(amp.T.astype(np.float32), n)            # [K, n]
     phases0 = rng.uniform(0, 2 * np.pi, k_max)
-    voiced = np.einsum("kn,kn->n", amp_s,
-                       np.sin(harmonics[:, None] * phase[None, :]
-                              + phases0[:, None]))
+    voiced = _render_harmonics(phase, amp_s, phases0).astype(np.float64)
     vmax = np.max(np.abs(voiced)) + 1e-9
     voiced /= vmax
 
