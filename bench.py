@@ -24,6 +24,81 @@ import time
 import numpy as np
 
 
+def serving_bench(model_path: str) -> dict:
+    """Honest system number: int16 frames pushed from the host through the
+    StreamingServer (native ring buffers -> masked batched device step ->
+    host pull), the path production audio actually takes. Reports sustained
+    audio-s/s/chip plus p50/p99 per-frame round-trip latency (push -> pull).
+    Reference analog: the C demo's real-time factor includes I/O
+    (reference demo/c/koala_demo_file.c:500-527)."""
+    from koala_tpu.constants import FRAME_LENGTH, SAMPLE_RATE
+    from koala_tpu.serve import StreamingServer
+
+    batch = int(os.environ.get("KOALA_BENCH_SERVE_STREAMS", "128"))
+    secs = float(os.environ.get("KOALA_BENCH_SERVE_SECS", "6.0"))
+    server = StreamingServer(
+        access_key="benchbench==", num_streams=batch,
+        model_path=model_path if os.path.exists(model_path) else None,
+        capacity_frames=64, poll_interval_s=0.0005)
+    try:
+        rng = np.random.default_rng(0)
+        frame = (rng.standard_normal((batch, FRAME_LENGTH)) * 1500).astype(np.int16)
+
+        # Warmup: one full push->pull round to compile the masked step.
+        for i in range(batch):
+            server.push(i, frame[i])
+        deadline = time.perf_counter() + 10.0
+        got = 0
+        while got < batch and time.perf_counter() < deadline:
+            got += sum(1 for i in range(batch) if len(server.pull(i)))
+
+        # Throughput phase: keep every ring ~half full, pull continuously.
+        pushed = np.zeros(batch, np.int64)
+        pulled = 0
+        t0 = time.perf_counter()
+        while True:
+            now = time.perf_counter() - t0
+            if now >= secs:
+                break
+            for i in range(batch):
+                if server.push(i, frame[i]):
+                    pushed[i] += 1
+            for i in range(batch):
+                pulled += len(server.pull(i)) // FRAME_LENGTH
+        # Drain what's still in flight (it was processed inside the window
+        # or right after; exclude drain time from the denominator).
+        t_end = time.perf_counter()
+        drain_deadline = t_end + 5.0
+        while pulled < pushed.sum() and time.perf_counter() < drain_deadline:
+            for i in range(batch):
+                pulled += len(server.pull(i)) // FRAME_LENGTH
+        elapsed = t_end - t0
+        audio_s = pulled * FRAME_LENGTH / SAMPLE_RATE
+
+        # Latency phase: lockstep push of ONE frame to every stream, wait
+        # for all outputs; per-round round-trip = worst stream's latency.
+        lat_ms = []
+        for _ in range(60):
+            t1 = time.perf_counter()
+            for i in range(batch):
+                server.push(i, frame[i])
+            remaining = set(range(batch))
+            while remaining and time.perf_counter() - t1 < 2.0:
+                done = [i for i in remaining if len(server.pull(i))]
+                remaining.difference_update(done)
+            lat_ms.append((time.perf_counter() - t1) * 1000.0)
+        lat = np.asarray(lat_ms)
+        return {
+            "serving_streams": batch,
+            "serving_audio_s_per_s_per_chip": round(audio_s / elapsed, 1),
+            "serving_vs_baseline": round(audio_s / elapsed / 32.0, 2),
+            "serving_p50_ms": round(float(np.percentile(lat, 50)), 3),
+            "serving_p99_ms": round(float(np.percentile(lat, 99)), 3),
+        }
+    finally:
+        server.close()
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -79,7 +154,7 @@ def main() -> None:
     audio_seconds = batch * frames * FRAME_LENGTH / SAMPLE_RATE * iters
     value = audio_seconds / elapsed
 
-    print(json.dumps({
+    record = {
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 1),
         "unit": "audio-s/s/chip",
@@ -90,7 +165,16 @@ def main() -> None:
         "wall_s": round(elapsed, 4),
         "model": config.get("kind", "mask_gru"),
         "device": str(device),
-    }))
+    }
+    # The serving-path system number (host int16 in/out via the native ring
+    # buffers) rides along in the same single JSON line. Skippable for quick
+    # engine-only runs via KOALA_BENCH_SERVE=0.
+    if os.environ.get("KOALA_BENCH_SERVE", "1") != "0":
+        try:
+            record.update(serving_bench(model_path))
+        except Exception as e:  # serving bench must never sink the engine number
+            record["serving_error"] = repr(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -29,12 +29,15 @@ from .errors import (
     Status,
 )
 from .factory import create, create_batch
+from .sdk import get_sdk, set_sdk
 
 __all__ = [
     "__version__",
     "create",
     "create_batch",
     "available_devices",
+    "set_sdk",
+    "get_sdk",
     "Koala",
     "KoalaBatch",
     "SAMPLE_RATE",

@@ -119,6 +119,8 @@ def available_devices() -> List[str]:
     pv_koala_list_hardware_devices (reference pv_koala.h:117-128)."""
     import jax
 
+    import os
+
     out: List[str] = ["best"]
     counts: dict = {}
     for d in jax.devices():
@@ -128,6 +130,13 @@ def available_devices() -> List[str]:
         for i, d in enumerate(devs):
             kind = getattr(d, "device_kind", name)
             out.append("%s:%d - %s" % (name, i, kind))
+    # The reference lists "cpu:[0-N] - CPU (N threads)" (its engine has a
+    # thread-count knob, pv_koala.h:42-46). Under XLA the op-level thread
+    # pool is runtime-managed, so cpu:N parses but the count is a no-op —
+    # the listing says so instead of silently implying the knob works.
+    n = os.cpu_count() or 1
+    out.append("cpu:[0-%d] - CPU (thread count accepted for compatibility; "
+               "XLA manages its own thread pool)" % n)
     return out
 
 

@@ -52,6 +52,9 @@ def validate_access_key(access_key: str) -> None:
         ERROR_STACK.push("AccessKey format is invalid: expected >= 8 base64 characters")
         ERROR_STACK.push("Failed to validate AccessKey")
         raise_with_stack(KoalaActivationError, "Initialization failed")
+    from ..sdk import check_revocation
+
+    check_revocation(access_key)
 
 
 def _float_to_pcm_np(x: np.ndarray) -> np.ndarray:

@@ -7,6 +7,11 @@ from typing import Optional
 from .engine.batch import KoalaBatch
 from .engine.stream import Koala
 from .models.params_io import default_model_path
+from .sdk import set_sdk
+
+# Tag the default client surface at import, the analog of the reference
+# binding's load-time pv_set_sdk("python") (binding/python/_koala.py:156-160).
+set_sdk("python")
 
 
 def create(

@@ -31,7 +31,14 @@ from .device import parse_device, resolve_jax_device
 from .engine.batch import masked_reset
 from .engine.core import make_engine
 from .engine.stream import _float_to_pcm_np, validate_access_key
-from .errors import ERROR_STACK, KoalaInvalidArgumentError, raise_with_stack
+from .errors import (
+    ERROR_STACK,
+    KoalaActivationLimitError,
+    KoalaActivationThrottledError,
+    KoalaInvalidArgumentError,
+    raise_with_stack,
+)
+from .sdk import max_streams_quota
 from .hostlib import StreamPool
 from .models import params_io
 
@@ -48,6 +55,13 @@ class StreamingServer:
             capacity_frames: int = 256,
             poll_interval_s: float = 0.002):
         validate_access_key(access_key)
+        quota = max_streams_quota()
+        if quota and num_streams > quota:
+            # The in-process analog of the reference's license usage limit
+            # (pv_status ACTIVATION_LIMIT_REACHED, picovoice.h:51).
+            ERROR_STACK.push("requested %d stream slots, AccessKey quota is %d"
+                             % (num_streams, quota))
+            raise_with_stack(KoalaActivationLimitError, "Initialization failed")
         model_path = model_path or params_io.default_model_path()
         if not os.path.exists(model_path):
             ERROR_STACK.push("could not find model file at `%s`" % model_path)
@@ -62,6 +76,8 @@ class StreamingServer:
             self._state = self._engine.init_state((num_streams,))
 
         self._pool = StreamPool(num_streams, FRAME_LENGTH, capacity_frames)
+        self._free_slots = list(range(num_streams))
+        self._slot_lock = threading.Lock()
         self._out_queues: List[collections.deque] = [
             collections.deque() for _ in range(num_streams)]
         self._out_lock = threading.Lock()
@@ -83,6 +99,25 @@ class StreamingServer:
         self._thread.start()
 
     # -- producer API (any thread) ----------------------------------------
+
+    def acquire_slot(self) -> int:
+        """Claim a free stream slot; raises KoalaActivationThrottledError
+        when every slot is busy (the reference's ACTIVATION_THROTTLED state,
+        picovoice.h:52 — request rate exceeds what the license/capacity
+        admits). Pair with release_slot()."""
+        with self._slot_lock:
+            if not self._free_slots:
+                ERROR_STACK.push("all %d stream slots are busy" % self.num_streams)
+                raise_with_stack(KoalaActivationThrottledError,
+                                 "Stream admission throttled")
+            return self._free_slots.pop()
+
+    def release_slot(self, stream: int) -> None:
+        """Reset and return a slot claimed with acquire_slot()."""
+        self.reset(stream)
+        with self._slot_lock:
+            if stream not in self._free_slots:
+                self._free_slots.append(stream)
 
     def push(self, stream: int, samples: np.ndarray) -> bool:
         """Append int16 samples to a stream. False on ring overflow."""

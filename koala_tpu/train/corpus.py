@@ -57,20 +57,21 @@ _VOWELS = np.array([
 
 def sample_speaker(rng: np.random.Generator) -> Dict[str, float]:
     """Draw one speaker's fixed parameters (sexes/ages via f0 x tract)."""
-    f0_base = float(np.exp(rng.uniform(np.log(85.0), np.log(280.0))))
+    f0_base = float(np.exp(rng.uniform(np.log(75.0), np.log(300.0))))
     # shorter vocal tract (higher formants) correlates with higher f0
-    corr = (np.log(f0_base) - np.log(85.0)) / (np.log(280.0) - np.log(85.0))
+    corr = (np.log(f0_base) - np.log(75.0)) / (np.log(300.0) - np.log(75.0))
     formant_scale = float(0.9 + 0.25 * corr + rng.uniform(-0.06, 0.06))
     return {
         "f0_base": f0_base,
         "f0_sigma": float(rng.uniform(0.08, 0.25)),      # log-f0 wander
         "formant_scale": formant_scale,
         "bw_scale": float(rng.uniform(0.8, 1.5)),        # formant bandwidths
-        "tilt_db_oct": float(rng.uniform(-15.0, -7.0)),  # source rolloff
+        "tilt_db_oct": float(rng.uniform(-15.0, -6.0)),  # source rolloff
         "breathiness": float(rng.uniform(0.02, 0.22)),
         "rate_sps": float(rng.uniform(2.6, 5.8)),        # syllables/s
         "jitter": float(rng.uniform(0.002, 0.012)),
-        "fric_gain": float(rng.uniform(0.5, 1.6)),
+        "fric_gain": float(rng.uniform(0.8, 2.8)),       # sibilants can rival vowels
+        "nasal_prob": float(rng.uniform(0.05, 0.30)),
     }
 
 
@@ -130,6 +131,40 @@ def _render_harmonics(phase: np.ndarray, amp_s: np.ndarray,
     return out
 
 
+def _apply_room_channel(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
+    """Random room reverb + recording-channel EQ, the acoustic wrapper that
+    separates studio-synth audio from real recorded speech. The result is
+    still SPEECH for the enhancer's purposes (a noise suppressor passes the
+    channel through; reference Koala does not dereverb), so callers use the
+    processed signal as BOTH input and target."""
+    n = len(x)
+    # -- reverb (p=0.5): exponentially-decaying noise tail RIR -------------
+    if rng.random() < 0.5:
+        rt60 = float(rng.uniform(0.05, 0.45))
+        tail_n = int(rt60 * SAMPLE_RATE)
+        t = np.arange(tail_n) / SAMPLE_RATE
+        tail = rng.standard_normal(tail_n) * np.exp(-6.9 * t / rt60)
+        drr_db = float(rng.uniform(4.0, 18.0))   # direct-to-reverb ratio
+        tail *= 10.0 ** (-drr_db / 20.0) / (np.sqrt(np.sum(tail ** 2)) + 1e-9)
+        rir = np.concatenate([[1.0], tail])
+        x = np.fft.irfft(np.fft.rfft(x, n + tail_n)
+                         * np.fft.rfft(rir, n + tail_n), n + tail_n)[:n]
+    # -- channel EQ (p=0.7): smooth random ripple + tilt over log-f --------
+    if rng.random() < 0.7:
+        spec = np.fft.rfft(x)
+        f = np.maximum(np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE), 20.0)
+        lf = np.log2(f / 1000.0)
+        eq_db = float(rng.uniform(-2.5, 2.5)) * lf
+        for _ in range(int(rng.integers(2, 5))):
+            eq_db += (float(rng.uniform(-3.0, 3.0))
+                      * np.cos(float(rng.uniform(0.5, 2.5)) * lf
+                               + float(rng.uniform(0.0, 6.28))))
+        # gentle low-cut like most mics
+        eq_db -= 12.0 * np.maximum(0.0, np.log2(80.0 / f))
+        x = np.fft.irfft(spec * 10.0 ** (eq_db / 20.0), n)
+    return x
+
+
 def synth_utterance(rng: np.random.Generator,
                     duration_s: float,
                     speaker: Optional[Dict[str, float]] = None) -> np.ndarray:
@@ -140,27 +175,43 @@ def synth_utterance(rng: np.random.Generator,
     t_ctrl = np.arange(n_ctrl) * CTRL_HOP / SAMPLE_RATE
 
     # ---- prosodic skeleton: syllables grouped into words with pauses ----
+    # event = (t0, t1, vowel, onset, coda) with onset in
+    # {None, "fric", "plosive", "nasal"} and coda in {None, "fric"} — coda
+    # fricatives are the long word-final sibilants ("...s") that real
+    # speech has and that an enhancer must NOT confuse with band noise.
     syl_dur = 1.0 / spk["rate_sps"]
-    events: List[Tuple[float, float, int, bool]] = []  # (t0, t1, vowel, fric)
+    events: List[Tuple[float, float, int, Optional[str], Optional[str]]] = []
     pos = float(rng.uniform(0.0, 0.12))
     while pos < duration_s:
         n_syl = int(rng.integers(1, 5))
-        for _ in range(n_syl):
+        for s_i in range(n_syl):
             d = syl_dur * float(rng.uniform(0.6, 1.5))
+            onset = None
+            if rng.random() < 0.6:
+                u = rng.random()
+                if u < spk["nasal_prob"]:
+                    onset = "nasal"
+                elif u < spk["nasal_prob"] + 0.45:
+                    onset = "fric"
+                else:
+                    onset = "plosive"
+            coda = "fric" if (s_i == n_syl - 1 and rng.random() < 0.3) else None
             events.append((pos, min(pos + d, duration_s),
-                           int(rng.integers(len(_VOWELS))),
-                           bool(rng.random() < 0.55)))
+                           int(rng.integers(len(_VOWELS))), onset, coda))
             pos += d
         pos += float(rng.uniform(0.06, 0.35))  # inter-word pause
 
     # ---- control tracks -------------------------------------------------
     voiced_env = np.zeros(n_ctrl)
     formant_tracks = np.zeros((n_ctrl, 3))
-    fric_env = np.zeros(n_ctrl)
+    fric_env_a = np.zeros(n_ctrl)   # sibilant band
+    fric_env_b = np.zeros(n_ctrl)   # non-sibilant band
     plosive_env = np.zeros(n_ctrl)
     accents = np.zeros(n_ctrl)
+    tilt_extra = np.zeros(n_ctrl)   # per-frame extra rolloff (nasal murmur)
+    nasal_target = np.array([260.0, 1050.0, 2250.0])
     last_vowel = _VOWELS[int(rng.integers(len(_VOWELS)))]
-    for (t0, t1, vi, has_fric) in events:
+    for (t0, t1, vi, onset, coda) in events:
         i0, i1 = int(t0 / 0.01), min(int(t1 / 0.01), n_ctrl - 1)
         if i1 <= i0:
             continue
@@ -174,15 +225,26 @@ def synth_utterance(rng: np.random.Generator,
         last_vowel = target
         voiced_env[i0:i1] = rng.uniform(0.65, 1.0)
         accents[i0:i1] = rng.uniform(-0.1, 0.25)
-        if has_fric:
-            # onset consonant: fricative or plosive occupying ~25% of syllable
+        if onset is not None:
             c_len = max(1, int(span * rng.uniform(0.15, 0.35)))
-            if rng.random() < 0.6:
-                fric_env[i0:i0 + c_len] = rng.uniform(0.4, 1.0)
+            if onset == "fric":
+                env = fric_env_a if rng.random() < 0.6 else fric_env_b
+                env[i0:i0 + c_len] = rng.uniform(0.5, 1.3)
                 voiced_env[i0:i0 + c_len] *= 0.25
+            elif onset == "nasal":
+                # murmur: low formants, heavy extra rolloff, softer voicing
+                formant_tracks[i0:i0 + c_len] = (
+                    nasal_target * (1.0 + rng.uniform(-0.08, 0.08, 3)))
+                tilt_extra[i0:i0 + c_len] = rng.uniform(-9.0, -4.0)
+                voiced_env[i0:i0 + c_len] *= rng.uniform(0.5, 0.8)
             else:
                 voiced_env[i0:i0 + c_len] = 0.0     # closure gap
                 plosive_env[min(i0 + c_len, n_ctrl - 1)] = rng.uniform(0.5, 1.0)
+        if coda == "fric":
+            c_len = max(1, int(span * rng.uniform(0.25, 0.5)))
+            env = fric_env_a if rng.random() < 0.75 else fric_env_b
+            env[i1 - c_len:i1] = rng.uniform(0.6, 1.5)
+            voiced_env[i1 - c_len:i1] *= 0.15
     # fill silent-region formants with the neighbor values (no zeros)
     held = formant_tracks.sum(axis=1) > 0
     if held.any():
@@ -193,7 +255,9 @@ def synth_utterance(rng: np.random.Generator,
     else:
         formant_tracks[:] = last_vowel
     voiced_env = _smooth(voiced_env, 7)
-    fric_env = _smooth(fric_env, 5)
+    fric_env_a = _smooth(fric_env_a, 5)
+    fric_env_b = _smooth(fric_env_b, 5)
+    tilt_extra = _smooth(tilt_extra, 5)
 
     # ---- f0 contour: declination + wander + accents + jitter ------------
     log_f0 = (np.log(spk["f0_base"])
@@ -224,6 +288,10 @@ def synth_utterance(rng: np.random.Generator,
         gains_db[sl] = (10.0 * (np.log10(num) - np.log10(np.maximum(den, 1e-12)))
                         ).sum(axis=1)
     tilt_db = spk["tilt_db_oct"] * np.log2(np.maximum(freqs_k, 50.0) / 100.0)
+    # nasal-murmur segments roll off faster above ~500 Hz
+    tilt_db = tilt_db + (tilt_extra[:, None]
+                         * np.maximum(np.log2(np.maximum(freqs_k, 50.0) / 500.0),
+                                      0.0))
     amp = 10.0 ** ((gains_db + tilt_db) / 20.0)
     amp[freqs_k > MAX_VOICED_HZ] = 0.0
     amp[freqs_k > SAMPLE_RATE / 2 - 200] = 0.0
@@ -240,18 +308,27 @@ def synth_utterance(rng: np.random.Generator,
     voiced /= vmax
 
     # ---- aspiration + fricatives + plosive bursts ------------------------
+    # Two independent fricative channels with per-utterance random bands:
+    # a = sibilant ("s"/"sh", strong 2.5-8 kHz), b = non-sibilant ("f"/"th").
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     fgrid = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
-    sib = rng.random() < 0.6
-    lo, hi = ((2800, 7900) if sib else (1200, 6000))
-    band = np.where((fgrid > lo) & (fgrid < hi), 1.0, 0.02)
-    fric_noise = np.fft.irfft(spec * band, n)
-    fric_noise /= np.max(np.abs(fric_noise)) + 1e-9
+    lo_a = float(rng.uniform(2300.0, 4500.0))
+    hi_a = float(rng.uniform(6000.0, 7950.0))
+    band_a = np.where((fgrid > lo_a) & (fgrid < hi_a), 1.0, 0.02)
+    fric_noise_a = np.fft.irfft(spec * band_a, n)
+    fric_noise_a /= np.max(np.abs(fric_noise_a)) + 1e-9
+    lo_b = float(rng.uniform(900.0, 2000.0))
+    hi_b = float(rng.uniform(3500.0, 7000.0))
+    band_b = np.where((fgrid > lo_b) & (fgrid < hi_b), 1.0, 0.02)
+    spec_b = np.fft.rfft(rng.standard_normal(n))
+    fric_noise_b = np.fft.irfft(spec_b * band_b, n)
+    fric_noise_b /= np.max(np.abs(fric_noise_b)) + 1e-9
     asp_noise = np.fft.irfft(spec * np.exp(-fgrid / 3000.0), n)
     asp_noise /= np.max(np.abs(asp_noise)) + 1e-9
 
-    fric_s = _upsample(fric_env, n)
+    fric_s_a = _upsample(fric_env_a, n)
+    fric_s_b = _upsample(fric_env_b, n)
     voiced_s = _upsample(voiced_env, n)
     burst = np.zeros(n)
     for c in np.nonzero(plosive_env)[0]:
@@ -264,8 +341,53 @@ def synth_utterance(rng: np.random.Generator,
 
     x = (voiced
          + spk["breathiness"] * asp_noise * voiced_s
-         + spk["fric_gain"] * fric_noise * fric_s
+         + spk["fric_gain"] * fric_noise_a * fric_s_a
+         + spk["fric_gain"] * 0.6 * fric_noise_b * fric_s_b
          + burst)
+    x = _apply_room_channel(rng, x)
+    peak = np.max(np.abs(x)) + 1e-9
+    return (x / peak * 0.4).astype(np.float32)
+
+
+def synth_utterance_am(rng: np.random.Generator,
+                       duration_s: float) -> np.ndarray:
+    """Second speech family: AM-gated harmonic stacks (a randomized
+    generalization of the scripts/make_fixtures.py fixture synthesizer).
+    Spectrally cruder than the Klatt family but a distinct timbre class —
+    training on both widens what the model accepts as 'speech'."""
+    n = int(duration_s * SAMPLE_RATE)
+    t = np.arange(n) / SAMPLE_RATE
+    f0_base = float(np.exp(rng.uniform(np.log(90.0), np.log(260.0))))
+    f0 = (f0_base
+          * (1.0 + 0.2 * np.sin(2 * np.pi * rng.uniform(0.2, 0.8) * t
+                                + rng.uniform(0, 6.28))
+             + 0.07 * np.sin(2 * np.pi * rng.uniform(1.0, 2.2) * t)))
+    phase = 2 * np.pi * np.cumsum(f0) / SAMPLE_RATE
+    voiced = np.zeros(n)
+    rolloff = rng.uniform(0.5, 0.85)
+    k_max = max(3, int(6500.0 / f0_base))
+    amps = rolloff ** np.arange(k_max) * (1.0 + rng.uniform(-0.3, 0.3, k_max))
+    for k in range(1, k_max + 1, max(1, k_max // 14)):
+        voiced += max(amps[k - 1], 0.0) * np.sin(k * phase + 0.1 * k)
+    # formant-ish coloration via slow AM of the whole stack
+    voiced *= 1.0 + 0.35 * np.sin(2 * np.pi * rng.uniform(1.5, 2.8) * t
+                                  + rng.uniform(0, 6.28))
+    syllable = 0.55 + 0.45 * np.sin(
+        2 * np.pi * rng.uniform(2.8, 4.6) * t + rng.uniform(0, 6.28)) ** 2
+    gate = np.ones(n)
+    pos = 0
+    while pos < n:
+        word = int(rng.uniform(0.25, 0.8) * SAMPLE_RATE)
+        pause = int(rng.uniform(0.08, 0.35) * SAMPLE_RATE)
+        gate[pos + word:pos + word + pause] = 0.0
+        pos += word + pause
+    ramp = np.hanning(321)
+    gate = np.convolve(gate, ramp / ramp.sum(), mode="same")
+    fric = rng.standard_normal(n) * rng.uniform(0.08, 0.25)
+    fric_env = np.convolve((np.diff(gate, prepend=0) > 0.002).astype(float),
+                           np.hanning(800), mode="same")
+    x = voiced * syllable * gate + fric * fric_env
+    x = _apply_room_channel(rng, x)
     peak = np.max(np.abs(x)) + 1e-9
     return (x / peak * 0.4).astype(np.float32)
 
@@ -338,13 +460,18 @@ def synth_babble(rng: np.random.Generator, duration_s: float,
 
 def build_speech_tape(seed: int, n_utterances: int,
                       dur_range: Tuple[float, float] = (2.5, 5.0),
+                      am_frac: float = 0.25,
                       log_every: int = 0) -> np.ndarray:
-    """Concatenated multi-speaker speech, float32 peak ~0.4."""
+    """Concatenated multi-speaker speech, float32 peak ~0.4.
+    ``am_frac`` of the utterances come from the AM-harmonic family."""
     rng = np.random.default_rng(seed)
     parts = []
     for i in range(n_utterances):
         dur = float(rng.uniform(*dur_range))
-        parts.append(synth_utterance(rng, dur))
+        if rng.random() < am_frac:
+            parts.append(synth_utterance_am(rng, dur))
+        else:
+            parts.append(synth_utterance(rng, dur))
         if log_every and (i + 1) % log_every == 0:
             print("  speech %d/%d" % (i + 1, n_utterances), flush=True)
     return np.concatenate(parts)
@@ -370,6 +497,7 @@ def build_noise_tape(seed: int, n_clips: int,
 
 
 __all__ = [
-    "sample_speaker", "synth_utterance", "synth_noise_clip", "synth_babble",
+    "sample_speaker", "synth_utterance", "synth_utterance_am",
+    "synth_noise_clip", "synth_babble",
     "build_speech_tape", "build_noise_tape",
 ]

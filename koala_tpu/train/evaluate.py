@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..constants import DELAY_SAMPLE, FRAME_LENGTH
 from ..engine.core import make_engine, pcm_to_float
+from .stoi import stoi
 
 
 def _stream_enhance(engine, params, pcm_int16: np.ndarray) -> np.ndarray:
@@ -91,9 +92,13 @@ def evaluate(params, config: Dict[str, Any], speech: np.ndarray,
         "dev_mixed": rms_case(out_mixed, speech),
         "si_sdr_mixed_db": si_sdr(out_mixed[DELAY_SAMPLE:], speech[:n]),
         "si_sdr_input_db": si_sdr(mixed[:n], speech[:n]),
+        # Intelligibility metric (BASELINE.json "SI-SDR/PESQ parity"; STOI
+        # is the open stand-in for PESQ — see train/stoi.py).
+        "stoi_mixed": stoi(speech[:n], out_mixed[DELAY_SAMPLE:]),
+        "stoi_input": stoi(speech[:n], mixed[:n]),
     }
     results["si_sdr_gain_db"] = results["si_sdr_mixed_db"] - results["si_sdr_input_db"]
     return results
 
 
-__all__ = ["evaluate", "rms_case", "si_sdr"]
+__all__ = ["evaluate", "rms_case", "si_sdr", "stoi"]

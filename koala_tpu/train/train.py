@@ -42,16 +42,23 @@ def snr_loss(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarr
     return jnp.mean(10.0 * jnp.log10((err + eps) / (sig + eps)))
 
 
-def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
-    """Mean |per-frame RMS difference| over 256-sample frames — the exact
+def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
+                 under_weight: float = 2.0) -> jnp.ndarray:
+    """Mean per-frame RMS deviation over 256-sample frames — the exact
     quantity the acceptance harness bounds (reference binding/python/
-    test_koala.py:75: per-frame RMS deviation < 0.02 at fullscale 1.0)."""
+    test_koala.py:75: per-frame RMS deviation < 0.02 at fullscale 1.0).
+
+    Asymmetric: under-shoot (est quieter than ref — speech attenuation, the
+    live failure mode on real speech) is weighted ``under_weight``x. For
+    noise-only targets ref RMS is ~0, so the extra weight never rewards
+    under-suppression."""
     def frms(x):
         b, s = x.shape
         fr = x.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
         return jnp.sqrt(jnp.mean(fr * fr, axis=-1) + 1e-10)
 
-    return jnp.mean(jnp.abs(frms(est) - frms(ref)))
+    d = frms(est) - frms(ref)
+    return jnp.mean(jnp.where(d < 0, -under_weight * d, d))
 
 
 def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
@@ -171,7 +178,7 @@ def train_on_device(
     """Single-chip training with the data pipeline fused into the jitted
     step (DeviceSampler): zero per-step host->device transfer. The only
     host traffic is the one-time tape upload and periodic loss fetches."""
-    from .device_sampler import DeviceSampler
+    from .device_sampler import sample_from_tapes
 
     cfg = dict(mask_gru.DEFAULT_CONFIG, **(config or {}))
     if params is None:
@@ -186,14 +193,16 @@ def train_on_device(
     opt_state = optimizer.init(params)
 
     device = jax.devices()[0]
-    sampler = DeviceSampler(
-        jax.device_put(jnp.asarray(speech_tape, jnp.float32), device),
-        jax.device_put(jnp.asarray(noise_tape, jnp.float32), device),
-        segment_frames * FRAME_LENGTH)
+    # Tapes are jit ARGUMENTS (resident on device across calls), never
+    # closure constants — a closed-over array is baked into the executable,
+    # which blows up compile payloads by the corpus size (hundreds of MB).
+    segment = segment_frames * FRAME_LENGTH
+    speech_dev = jax.device_put(jnp.asarray(speech_tape, jnp.float32), device)
+    noise_dev = jax.device_put(jnp.asarray(noise_tape, jnp.float32), device)
     loss_fn = make_loss_fn(cfg)
 
-    def step_fn(params, opt_state, key):
-        noisy, clean = sampler.sample(key, batch)
+    def step_fn(params, opt_state, key, speech, noise):
+        noisy, clean = sample_from_tapes(speech, noise, key, batch, segment)
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -206,7 +215,8 @@ def train_on_device(
 
     t0 = time.perf_counter()
     for i in range(steps):
-        params, opt_state, loss = step_jit(params, opt_state, keys[i])
+        params, opt_state, loss = step_jit(params, opt_state, keys[i],
+                                           speech_dev, noise_dev)
         if log_every and (i % log_every == 0 or i == steps - 1):
             # scalar fetch doubles as the pipeline sync point
             print("step %5d  loss %.4f  (%.1fs)"

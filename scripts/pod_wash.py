@@ -69,7 +69,8 @@ def main():
     def run_on(mesh, tag):
         n_dev = mesh.devices.size
         batch = args.batch or n_dev * 64
-        batch = min(batch, (args.utterances // n_dev) * n_dev) or n_dev
+        # keep at least 2 batches so the warmup batch absorbs compilation
+        batch = min(batch, (args.utterances // (2 * n_dev)) * n_dev) or n_dev
         runner = CorpusRunner(model_path, batch, samples, mesh)
 
         def batches():
@@ -91,12 +92,25 @@ def main():
 
     if args.efficiency and full_mesh.devices.size > 1:
         single = run_on(make_mesh(list(full_mesh.devices.flat)[:1]), "one-device")
+        # Two views, because they answer different questions:
+        # - scaling_efficiency (per-chip at N chips vs 1): the real-hardware
+        #   number, meaningful when each mesh device is a distinct chip.
+        # - aggregate_retention (sharded aggregate / single-device aggregate
+        #   on the SAME hardware): the honest number on a virtual CPU mesh,
+        #   where N "devices" timeshare the host cores so per-chip
+        #   throughput necessarily divides by N. Retention isolates the
+        #   partitioning/collective overhead, which is what the virtual
+        #   mesh can actually evidence.
         eff = (report["audio_seconds_per_second_per_chip"]
                / max(single["audio_seconds_per_second_per_chip"], 1e-9))
+        retention = (report["audio_seconds_per_second"]
+                     / max(single["audio_seconds_per_second"], 1e-9))
         print(json.dumps({
             "metric": "scaling_efficiency",
             "chips": int(full_mesh.devices.size),
             "value": round(eff, 4),
+            "aggregate_retention": round(retention, 4),
+            "virtual_cpu_mesh": bool(n_cpu),
         }), flush=True)
 
 

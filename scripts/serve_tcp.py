@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def handle_client(conn, addr, server, stream_id, free_ids, lock):
+def handle_client(conn, addr, server, stream_id):
     """One stream. The server performs delay compensation: the first
     delay_sample output samples (warmup) are dropped and the stream is
     drained with zero frames at EOF (the reference's file-demo algorithm,
@@ -89,9 +89,7 @@ def handle_client(conn, addr, server, stream_id, free_ids, lock):
         try:
             conn.close()
         finally:
-            server.reset(stream_id)
-            with lock:
-                free_ids.append(stream_id)
+            server.release_slot(stream_id)
 
 
 def main():
@@ -112,12 +110,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", override)
 
+    from koala_tpu.errors import KoalaActivationThrottledError
+    from koala_tpu.sdk import set_sdk
     from koala_tpu.serve import StreamingServer
 
+    set_sdk("tcp-service")
     server = StreamingServer(args.access_key, num_streams=args.streams,
                              model_path=args.model_path, device=args.device)
-    free_ids = list(range(args.streams))
-    lock = threading.Lock()
 
     sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -129,13 +128,17 @@ def main():
     try:
         while True:
             conn, addr = sock.accept()
-            with lock:
-                if not free_ids:
-                    conn.close()
-                    continue
-                stream_id = free_ids.pop()
+            try:
+                stream_id = server.acquire_slot()
+            except KoalaActivationThrottledError as e:
+                # Typed admission rejection (ACTIVATION_THROTTLED) instead
+                # of a silent close; logged server-side, client sees EOF
+                # before any enhanced audio.
+                print("throttled %s: %s" % (addr, e), flush=True)
+                conn.close()
+                continue
             threading.Thread(target=handle_client,
-                             args=(conn, addr, server, stream_id, free_ids, lock),
+                             args=(conn, addr, server, stream_id),
                              daemon=True).start()
     except KeyboardInterrupt:
         pass

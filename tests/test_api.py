@@ -171,3 +171,65 @@ class TestBatch:
         with pytest.raises(KoalaInvalidArgumentError):
             kb.process_chunk(np.zeros((2, FRAME_LENGTH + 1), np.int16))
         kb.delete()
+
+
+def test_sdk_tagging():
+    """set_sdk/get_sdk, the analog of pv_set_sdk/pv_get_sdk
+    (reference binding/python/_koala.py:156-160)."""
+    assert koala_tpu.get_sdk() == "python"    # factory tags at import
+    koala_tpu.set_sdk("unit-test")
+    try:
+        assert koala_tpu.get_sdk() == "unit-test"
+        koala_tpu.set_sdk("")                 # ignored: empty is invalid
+        assert koala_tpu.get_sdk() == "unit-test"
+    finally:
+        koala_tpu.set_sdk("python")
+
+
+def test_revoked_access_key(monkeypatch, untrained_model):
+    """A locally-revoked key raises ACTIVATION_REFUSED with a stack."""
+    from koala_tpu import KoalaActivationRefusedError
+
+    key = "REVOKED0" * 2
+    monkeypatch.setenv("KOALA_TPU_REVOKED_KEYS", "otherkey, %s" % key)
+    with pytest.raises(KoalaActivationRefusedError) as e:
+        _make(key, untrained_model)
+    assert 0 < len(e.value.message_stack) < 8
+    # non-revoked keys still pass
+    _make("TESTKEY0" * 2, untrained_model).delete()
+
+
+def test_stream_quota_activation_limit(monkeypatch, untrained_model, access_key):
+    """Server slots beyond the local quota raise ACTIVATION_LIMIT_REACHED."""
+    from koala_tpu import KoalaActivationLimitError
+    from koala_tpu.serve import StreamingServer
+
+    monkeypatch.setenv("KOALA_TPU_MAX_STREAMS", "4")
+    with pytest.raises(KoalaActivationLimitError):
+        StreamingServer(access_key, num_streams=8, model_path=untrained_model)
+
+
+def test_slot_exhaustion_throttles(access_key, untrained_model):
+    """acquire_slot beyond capacity raises ACTIVATION_THROTTLED; release
+    makes the slot reusable."""
+    from koala_tpu import KoalaActivationThrottledError
+    from koala_tpu.serve import StreamingServer
+
+    server = StreamingServer(access_key, num_streams=2,
+                             model_path=untrained_model)
+    try:
+        a = server.acquire_slot()
+        b = server.acquire_slot()
+        assert {a, b} == {0, 1}
+        with pytest.raises(KoalaActivationThrottledError) as e:
+            server.acquire_slot()
+        assert len(e.value.message_stack) > 0
+        server.release_slot(a)
+        assert server.acquire_slot() == a
+    finally:
+        server.close()
+
+
+def test_available_devices_documents_cpu_threads():
+    devices = koala_tpu.available_devices()
+    assert any(d.startswith("cpu:[0-") for d in devices), devices

@@ -7,55 +7,63 @@ import jax
 import jax.numpy as jnp
 
 from koala_tpu.models import mask_gru
-from koala_tpu.ops.pallas.gru import gru_stack_pallas, gru_stack_supported
+from koala_tpu.ops.pallas.gru import (
+    flatten_layer_params,
+    gru_stack_pallas,
+    gru_stack_supported,
+)
 
 
 def test_supported_gate():
     assert gru_stack_supported(2, 64, 384)
-    assert not gru_stack_supported(3, 64, 384)     # layers != 2
-    assert not gru_stack_supported(2, 7, 384)      # batch not multiple of 8
-    assert not gru_stack_supported(2, 64, 200)     # hidden not 128-aligned
+    assert gru_stack_supported(1, 64, 384)          # any L >= 1 now
+    assert gru_stack_supported(3, 64, 384)
+    assert not gru_stack_supported(0, 64, 384)      # no layers
+    assert not gru_stack_supported(2, 7, 384)       # batch not multiple of 8
+    assert not gru_stack_supported(2, 64, 200)      # hidden not 128-aligned
     assert not gru_stack_supported(2, 100000, 384)  # VMEM blowout
+    assert not gru_stack_supported(12, 64, 384)     # weights alone bust VMEM
 
 
-def test_kernel_matches_scan_reference(rng):
-    """Kernel output must match the lax.scan path (same bf16 numerics)."""
+def _scan_reference(params, cfg, x, state):
+    """The lax.scan path of apply_sequence, replicated on raw x."""
+    st = state
+    xs = x
+    for i, layer in enumerate(params["gru"]):
+        xproj = mask_gru._mm(xs, layer["wx"], cfg) + layer["bx"]
+        xproj_t = jnp.moveaxis(xproj, 1, 0)
+
+        def scan_fn(hh, xp, _layer=layer):
+            h_new = mask_gru._gru_recurrent(_layer, hh, xp, cfg)
+            return h_new, h_new
+
+        h_final, hs = jax.lax.scan(scan_fn, st[..., i, :], xproj_t)
+        st = st.at[..., i, :].set(h_final)
+        xs = xs + jnp.moveaxis(hs, 0, 1)
+    return xs, st
+
+
+@pytest.mark.parametrize("layers", [1, 2, 3])
+def test_kernel_matches_scan_reference(rng, layers):
+    """Kernel output must match the lax.scan path (same bf16 numerics)
+    at every supported layer count."""
     b, t, h = 8, 12, 384
-    cfg = dict(mask_gru.DEFAULT_CONFIG, use_pallas=False)
+    cfg = dict(mask_gru.DEFAULT_CONFIG, use_pallas=False, num_layers=layers)
     params = mask_gru.init_params(jax.random.PRNGKey(3), cfg)
-    l1, l2 = params["gru"]
 
     x = jnp.asarray(rng.standard_normal((b, t, h)).astype(np.float32) * 0.3)
-    state = jnp.asarray(rng.standard_normal((b, 2, h)).astype(np.float32) * 0.2)
+    state = jnp.asarray(
+        rng.standard_normal((b, layers, h)).astype(np.float32) * 0.2)
 
-    # reference: the scan path of apply_sequence, replicated on raw x
-    def reference(x, state):
-        cfg_l = cfg
-        st = state
-        xs = x
-        for i, layer in enumerate(params["gru"]):
-            xproj = mask_gru._mm(xs, layer["wx"], cfg_l) + layer["bx"]
-            xproj_t = jnp.moveaxis(xproj, 1, 0)
-
-            def scan_fn(hh, xp, _layer=layer):
-                h_new = mask_gru._gru_recurrent(_layer, hh, xp, cfg_l)
-                return h_new, h_new
-
-            h_final, hs = jax.lax.scan(scan_fn, st[..., i, :], xproj_t)
-            st = st.at[..., i, :].set(h_final)
-            xs = xs + jnp.moveaxis(hs, 0, 1)
-        return xs, st
-
-    ref_y, ref_state = reference(x, state)
+    ref_y, ref_state = _scan_reference(params, cfg, x, state)
 
     y, h_final = gru_stack_pallas(
         jnp.moveaxis(state, 1, 0),
         jnp.moveaxis(x, 1, 0),
-        l1["wx"], l1["bx"], l1["wh"], l1["bh"],
-        l2["wx"], l2["bx"], l2["wh"], l2["bh"],
+        *flatten_layer_params(params["gru"]),
         interpret=True)
 
-    # The kernel streams xp1/x1/y as bf16 (one extra rounding vs the f32
+    # The kernel streams xp/x/y as bf16 (one extra rounding vs the f32
     # scan path), so comparison is at bf16 resolution, not f32.
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(y, 0, 1).astype(jnp.float32)),
                                np.asarray(ref_y), atol=4e-2, rtol=2e-2)
