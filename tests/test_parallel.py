@@ -77,3 +77,33 @@ def test_wash_corpus_report(mmse_model, rng):
     assert report["audio_seconds"] > 0
     assert report["audio_seconds_per_second"] > 0
     assert report["batches"] >= 1
+
+
+@pytest.mark.slow
+def test_sharding_retention_over_virtual_mesh(mmse_model, rng):
+    """Sharding over the 8-virtual-device mesh must retain > 0.7 of the
+    single-device aggregate throughput on the same host cores — the
+    partitioning/collective overhead bound the virtual mesh can actually
+    evidence (real per-chip scaling needs real chips; see
+    resources/reports/efficiency_virtual8.json for the recorded run)."""
+    import time
+
+    b, t = 64, 32
+    samples = t * FRAME_LENGTH
+    pcm = (rng.standard_normal((b, samples)) * 0.1).astype(np.float32)
+
+    def throughput(mesh):
+        runner = CorpusRunner(mmse_model, global_batch=b,
+                              utterance_samples=samples, mesh=mesh)
+        out = runner.enhance_batch(pcm)           # warmup/compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = runner.enhance_batch(pcm)
+        jax.block_until_ready(out)
+        return 4.0 / (time.perf_counter() - t0)
+
+    full = make_mesh()
+    single = make_mesh(list(full.devices.flat)[:1])
+    retention = throughput(full) / throughput(single)
+    assert retention > 0.7, "sharding retention %.3f" % retention

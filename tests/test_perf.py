@@ -20,9 +20,13 @@ from koala_tpu.engine.core import make_engine
 from koala_tpu.models import mask_gru
 
 NUM_ITERATIONS = 5
-# 60 s of audio per iteration must process faster than real time even on a
-# CI-grade CPU (the reference's weakest gate is RTF <= 0.43 on a rpi3).
-RTF_THRESHOLD = 1.0
+# Calibrated gate: measured batched RTF on a 2-core CI-grade CPU is
+# ~0.0022 (2026-08, B=16); the gate sits ~9x above that so it trips on
+# real regressions (an accidental per-call recompile, a host sync in the
+# scan, a silent Pallas fallback on an accelerator run) but not on machine
+# jitter. For scale: the reference's *best* CPU gate is RTF <= 0.137
+# (BASELINE.md github runners), its weakest 0.43 (rpi3).
+RTF_THRESHOLD = 0.02
 
 
 def test_batched_throughput_gate(rng):
@@ -54,6 +58,24 @@ def test_single_stream_process_latency(access_key, mmse_model):
     import koala_tpu
 
     k = koala_tpu.create(access_key, model_path=mmse_model)
+    frame = [0] * FRAME_LENGTH
+    k.process(frame)  # warmup / compile
+
+    start = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        k.process(frame)
+    per_frame = (time.perf_counter() - start) / n
+    k.delete()
+    assert per_frame < 0.016, f"per-frame latency {per_frame * 1000:.2f} ms"
+
+
+def test_single_stream_flagship_realtime(access_key, untrained_model):
+    """The FLAGSHIP model must also beat the 16 ms per-frame budget on CPU
+    (measured ~7.7 ms on a 2-core runner)."""
+    import koala_tpu
+
+    k = koala_tpu.create(access_key, model_path=untrained_model)
     frame = [0] * FRAME_LENGTH
     k.process(frame)  # warmup / compile
 
