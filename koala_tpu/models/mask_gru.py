@@ -197,12 +197,15 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])  # [*, T, H]
 
     if _pallas_enabled(cfg, x):
-        from ..ops.pallas.gru import flatten_layer_params, gru_stack_pallas
+        # gru_stack_trainable = the fused kernel forward with a custom_vjp
+        # (analytic reverse scan over kernel-streamed hidden residuals), so
+        # this path is differentiable and training uses the fused forward.
+        from ..ops.pallas.gru import gru_stack_trainable
 
-        y, h_final = gru_stack_pallas(
+        y, h_final = gru_stack_trainable(
             jnp.moveaxis(state, 1, 0),                          # [L, B, H]
             jnp.moveaxis(x, 1, 0),                              # [T, B, H]
-            *flatten_layer_params(params["gru"]))
+            params["gru"])
         x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
         state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
         mask = jax.nn.sigmoid(_mm(x, params["dec"]["w"], cfg) + params["dec"]["b"])

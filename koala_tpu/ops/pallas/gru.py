@@ -57,15 +57,21 @@ def _gru_gates(h, hp, xp, hidden):
     return (1.0 - z) * n + z * h
 
 
-def _kernel(*refs):
-    # Layout: refs = (x, [wx_l, bx_l, wh_l, bh_l] x L, h0, y, h). The layer
-    # count is recovered from the count (static at trace time). h is aliased
-    # with h0 (input_output_aliases), so it already holds the initial hidden
-    # state at t == 0 and carries it across grid steps; the final state is
-    # the kernel's second output for free.
+def _kernel(*refs, return_hidden=False):
+    # Layout: refs = (x, [wx_l, bx_l, wh_l, bh_l] x L, h0, y, [hs,] h). The
+    # layer count is recovered from the count (static at trace time). h is
+    # aliased with h0 (input_output_aliases), so it already holds the initial
+    # hidden state at t == 0 and carries it across grid steps; the final
+    # state is the kernel's last output for free. With return_hidden, the
+    # per-step post-update hidden stack is also streamed out (training
+    # residuals for the custom_vjp backward — see gru_stack_trainable).
     x_ref = refs[0]
-    y_ref, h_ref = refs[-2], refs[-1]
-    layer_refs = refs[1:-3]
+    if return_hidden:
+        y_ref, hs_ref, h_ref = refs[-3], refs[-2], refs[-1]
+        layer_refs = refs[1:-4]
+    else:
+        y_ref, h_ref = refs[-2], refs[-1]
+        layer_refs = refs[1:-3]
     layers = len(layer_refs) // 4
     hidden = h_ref.shape[-1]
     x_bf = x_ref[0]                                   # bf16 [B, H]
@@ -87,20 +93,25 @@ def _kernel(*refs):
               + layer_refs[4 * l + 1][:])
         h_new = _gru_gates(hs[l], hps[l], xp, hidden)
         h_ref[l] = h_new
+        if return_hidden:
+            hs_ref[0, l] = h_new
         x_f = x_f + h_new                             # residual
         x_bf = x_f.astype(jnp.bfloat16)
     y_ref[0] = x_bf
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "return_hidden"))
+def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False,
+                     return_hidden: bool = False):
     """Run the fused L-layer GRU recurrence (input projections in-kernel).
 
     h0: [L, B, H] f32        initial hidden states (layer-major)
     x:  [T, B, H]            layer-0 inputs (encoder output; streamed bf16)
     layer_weights:           wx_0, bx_0, wh_0, bh_0, wx_1, ... (4 per layer;
                              wx/wh [H, 3H] cast to bf16 inside, bx/bh [3H])
-    -> (y [T, B, H] bf16, h_final [L, B, H] f32)
+    -> (y [T, B, H] bf16, h_final [L, B, H] f32), plus the per-step hidden
+    stack hs [T, L, B, H] f32 inserted before h_final when return_hidden
+    (training residuals).
 
     Weights are passed per-layer (not stacked [L, ...]) on purpose: stacking
     materializes a multi-MB concatenate on every call and the stacked-block
@@ -135,26 +146,31 @@ def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False):
     out_specs = [
         pl.BlockSpec((1, b, hidden), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((layers, b, hidden), lambda t: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    out_shape = [jax.ShapeDtypeStruct((t_len, b, hidden), jnp.bfloat16)]
+    if return_hidden:
+        out_specs.append(pl.BlockSpec((1, layers, b, hidden),
+                                      lambda t: (t, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((t_len, layers, b, hidden), jnp.float32))
+    out_specs.append(pl.BlockSpec((layers, b, hidden), lambda t: (0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32))
 
-    y, h_final = pl.pallas_call(
-        _kernel,
+    outs = pl.pallas_call(
+        functools.partial(_kernel, return_hidden=return_hidden),
         grid=(t_len,),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, hidden), jnp.bfloat16),
-            jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32),
-        ],
-        # alias h0 (last operand) with the h_final output (index 1)
-        input_output_aliases={h0_index: 1},
+        out_shape=out_shape,
+        # alias h0 (last operand) with the h_final output (last index)
+        input_output_aliases={h0_index: len(out_shape) - 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*operands)
-    return y, h_final
+    return tuple(outs)
 
 
 def flatten_layer_params(gru_layers):
@@ -163,6 +179,85 @@ def flatten_layer_params(gru_layers):
     for layer in gru_layers:
         out += [layer["wx"], layer["bx"], layer["wh"], layer["bh"]]
     return tuple(out)
+
+
+def _layers_step(layers, h_prev, x_bf):
+    """One time-step through the full stack mirroring _kernel numerics
+    exactly (bf16 matmul inputs, f32 accumulation/gates/state, bf16 residual
+    stream). layers: sequence of {wx,bx,wh,bh}; h_prev [L,B,H] f32;
+    x_bf [B,H] bf16 -> (h_new [L,B,H] f32, y_t [B,H] bf16)."""
+    hidden = h_prev.shape[-1]
+    x_f = x_bf.astype(jnp.float32)
+    xb = x_bf
+    new_h = []
+    for l, w in enumerate(layers):
+        xp = jnp.dot(xb, w["wx"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + w["bx"]
+        hp = jnp.dot(h_prev[l].astype(jnp.bfloat16), w["wh"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + w["bh"]
+        h_new = _gru_gates(h_prev[l], hp, xp, hidden)
+        new_h.append(h_new)
+        x_f = x_f + h_new
+        xb = x_f.astype(jnp.bfloat16)
+    return jnp.stack(new_h), xb
+
+
+def gru_stack_ref(h0, x, layers):
+    """Pure-XLA lax.scan mirror of the fused kernel (same numerics). Used as
+    the semantic reference in tests and by the custom_vjp backward below."""
+    def body(h, x_t):
+        h_new, y_t = _layers_step(layers, h, x_t)
+        return h_new, y_t
+
+    h_final, y = jax.lax.scan(body, h0.astype(jnp.float32),
+                              x.astype(jnp.bfloat16))
+    return y, h_final
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_stack_trainable(h0, x, layers, interpret=False):
+    """Differentiable fused recurrence: forward = the Pallas kernel,
+    backward = analytic reverse-time scan over hidden states the kernel
+    streams out as residuals (return_hidden) — no forward recompute.
+
+    layers is the params["gru"] pytree (list of dicts), so gradients flow to
+    the weights; VERDICT round-1 next-step #5 (training previously always
+    paid the slow lax.scan forward, train/train.py:58-61).
+    """
+    y, h_final = gru_stack_pallas(h0, x, *flatten_layer_params(layers),
+                                  interpret=interpret)
+    return y, h_final
+
+
+def _trainable_fwd(h0, x, layers, interpret):
+    y, hs, h_final = gru_stack_pallas(h0, x, *flatten_layer_params(layers),
+                                      interpret=interpret, return_hidden=True)
+    return (y, h_final), (h0, x, layers, hs)
+
+
+def _trainable_bwd(interpret, res, cts):
+    h0, x, layers, hs = res
+    ct_y, ct_hf = cts
+    x_bf = x.astype(jnp.bfloat16)
+    # h_prev[t] = hidden stack BEFORE step t: h0 at t=0, else hs[t-1].
+    h_prev_seq = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]], 0)
+    zeros_w = jax.tree_util.tree_map(jnp.zeros_like, layers)
+
+    def body(carry, inp):
+        dh, dlayers = carry                      # dh: cot into h_new at t
+        h_prev_t, x_t, ct_y_t = inp
+        _, vjp_fn = jax.vjp(_layers_step, layers, h_prev_t, x_t)
+        dlayers_t, dh_prev, dx_t = vjp_fn((dh, ct_y_t))
+        dlayers = jax.tree_util.tree_map(jnp.add, dlayers, dlayers_t)
+        return (dh_prev, dlayers), dx_t
+
+    (dh0, dlayers), dx = jax.lax.scan(
+        body, (ct_hf.astype(jnp.float32), zeros_w),
+        (h_prev_seq, x_bf, ct_y.astype(jnp.bfloat16)), reverse=True)
+    return dh0.astype(h0.dtype), dx.astype(x.dtype), dlayers
+
+
+gru_stack_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def gru_stack_supported(num_layers: int, batch: int, hidden: int) -> bool:
@@ -186,4 +281,10 @@ def gru_stack_supported(num_layers: int, batch: int, hidden: int) -> bool:
     return vmem < 14 * 1024 * 1024
 
 
-__all__ = ["gru_stack_pallas", "gru_stack_supported", "flatten_layer_params"]
+__all__ = [
+    "gru_stack_pallas",
+    "gru_stack_trainable",
+    "gru_stack_ref",
+    "gru_stack_supported",
+    "flatten_layer_params",
+]

@@ -74,9 +74,11 @@ def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_loss_fn(config: Dict[str, Any]):
-    # Force the XLA scan path: the fused Pallas recurrence is forward-only
-    # (inference); gradients flow through the lax.scan implementation.
-    config = dict(config, use_pallas=False)
+    # The fused Pallas recurrence is differentiable (custom_vjp with an
+    # analytic reverse scan, ops/pallas/gru.py:gru_stack_trainable), so
+    # training uses the same fused forward as inference whenever the auto
+    # gate qualifies (TPU backend + supported shapes); CPU falls back to
+    # the lax.scan path automatically.
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
     def loss_fn(params, noisy, clean):
@@ -98,6 +100,11 @@ def make_train_step(config: Dict[str, Any], optimizer, mesh=None):
     """Returns a jitted train_step(params, opt_state, noisy, clean) ->
     (params, opt_state, loss). If ``mesh`` is given, the batch is sharded
     over its 'data' axis and params/opt_state are replicated."""
+    if mesh is not None:
+        # The mesh path is plain GSPMD-partitioned jit; pallas_call must only
+        # run under shard_map (models/mask_gru.py:_pallas_enabled NOTE), so
+        # the sharded trainer keeps the lax.scan recurrence.
+        config = dict(config, use_pallas=False)
     loss_fn = make_loss_fn(config)
 
     def train_step(params, opt_state, noisy, clean):

@@ -75,6 +75,63 @@ def test_kernel_matches_scan_reference(rng, layers):
     assert np.corrcoef(a, b_)[0, 1] > 0.99999
 
 
+@pytest.mark.parametrize("layers", [1, 2])
+def test_trainable_gradients_match_scan_reference(rng, layers):
+    """gru_stack_trainable's custom_vjp (analytic reverse scan over
+    kernel-streamed hidden residuals) must produce the same gradients as
+    jax.grad through the pure-XLA mirror gru_stack_ref."""
+    from koala_tpu.ops.pallas.gru import gru_stack_ref, gru_stack_trainable
+
+    b, t, h = 8, 6, 128
+    cfg = dict(mask_gru.DEFAULT_CONFIG, hidden=h, num_layers=layers)
+    params = mask_gru.init_params(jax.random.PRNGKey(5), cfg)
+    gru_layers = params["gru"]
+
+    x = jnp.asarray(rng.standard_normal((t, b, h)).astype(np.float32) * 0.3)
+    h0 = jnp.asarray(rng.standard_normal((layers, b, h)).astype(np.float32) * 0.2)
+
+    def loss_fused(h0, x, ls):
+        y, hf = gru_stack_trainable(h0, x, ls, True)  # interpret mode
+        return (jnp.sum(y.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(hf)))
+
+    def loss_ref(h0, x, ls):
+        y, hf = gru_stack_ref(h0, x, ls)
+        return (jnp.sum(y.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(hf)))
+
+    val_f, grads_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(
+        h0, x, gru_layers)
+    val_r, grads_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        h0, x, gru_layers)
+
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves(grads_f)
+    flat_r = jax.tree_util.tree_leaves(grads_r)
+    assert len(flat_f) == len(flat_r)
+    for gf, gr in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(gf, np.float32),
+                                   np.asarray(gr, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_trainable_forward_matches_plain_kernel(rng):
+    """The custom_vjp primal must be bit-identical to the plain kernel."""
+    from koala_tpu.ops.pallas.gru import gru_stack_trainable
+
+    b, t, h, layers = 8, 5, 128, 2
+    cfg = dict(mask_gru.DEFAULT_CONFIG, hidden=h, num_layers=layers)
+    params = mask_gru.init_params(jax.random.PRNGKey(7), cfg)
+    x = jnp.asarray(rng.standard_normal((t, b, h)).astype(np.float32) * 0.3)
+    h0 = jnp.zeros((layers, b, h), jnp.float32)
+
+    y0, hf0 = gru_stack_pallas(h0, x, *flatten_layer_params(params["gru"]),
+                               interpret=True)
+    y1, hf1 = gru_stack_trainable(h0, x, params["gru"], True)
+    assert np.array_equal(np.asarray(y0, np.float32), np.asarray(y1, np.float32))
+    assert np.array_equal(np.asarray(hf0), np.asarray(hf1))
+
+
 def test_engine_pallas_flag_forced_on_cpu_interpret(rng):
     """apply_sequence with use_pallas=True on CPU must fall back (auto gate)
     and still produce correct results."""
