@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 P_SILENCE = 0.05
-P_SPEECH_ONLY = 0.20   # generous: the acceptance harness's hardest case is
+P_SPEECH_ONLY = 0.25   # generous: the acceptance harness's hardest case is
 P_NOISE_ONLY = 0.15    # perfect pass-through of clean speech
 P_BABBLE = 0.15
 
