@@ -37,6 +37,43 @@ def test_si_sdr_improvement(results):
     assert results["si_sdr_mixed_db"] > 12.0, results
 
 
+@pytest.fixture(scope="module")
+def heldout_results(trained_model):
+    """Held-out synthetic dev fixtures (speech_dev/noise_dev, fresh-seed
+    draws from the corpus family; NEVER in the training tapes — see
+    scripts/make_corpus.py). Guards against train-on-test: the bundled
+    model must generalize, not memorize (VERDICT round-1 missing #1)."""
+    import os
+
+    from koala_tpu.io import read_wav
+
+    samples = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "resources", "audio_samples")
+    sp = os.path.join(samples, "speech_dev.wav")
+    no = os.path.join(samples, "noise_dev.wav")
+    if not (os.path.exists(sp) and os.path.exists(no)):
+        pytest.skip("held-out dev fixtures missing")
+    params, cfg = params_io.load_params(trained_model)
+    return evaluate(params, cfg, read_wav(sp), read_wav(no))
+
+
+def test_heldout_energy_parity(heldout_results):
+    assert heldout_results["dev_pure_speech"] < 0.02, heldout_results
+    assert heldout_results["dev_pure_noise"] < 0.02, heldout_results
+    assert heldout_results["dev_mixed"] < 0.02, heldout_results
+
+
+def test_heldout_si_sdr_gain(heldout_results):
+    assert heldout_results["si_sdr_gain_db"] > 8.0, heldout_results
+
+
+def test_heldout_stoi_improvement(heldout_results):
+    """Intelligibility metric gate (STOI, the open PESQ stand-in per
+    BASELINE.json 'SI-SDR/PESQ parity'; see koala_tpu/train/stoi.py)."""
+    assert (heldout_results["stoi_mixed"]
+            > heldout_results["stoi_input"] + 0.05), heldout_results
+
+
 def test_streaming_api_matches_harness(trained_model, speech_pcm, access_key):
     """The public frame-by-frame API reproduces the pure-speech case."""
     import koala_tpu
