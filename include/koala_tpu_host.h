@@ -57,6 +57,15 @@ int32_t kt_pool_gather(kt_pool_t *pool, int16_t *batch_out,
 int32_t kt_pool_gather_f32(kt_pool_t *pool, float *batch_out,
                            uint8_t *active_out);
 
+/* Backlog-draining gather: pop up to `max_frames` complete frames from
+ * every stream into `batch_out` ([num_streams][max_frames][frame_length]
+ * row-major; frames beyond a stream's backlog are zero-filled) and write
+ * the per-stream frame count into counts_out[i]. Returns the total number
+ * of frames gathered. This is the host half of the chunked device step
+ * that amortizes dispatch latency over k frames per stream. */
+int32_t kt_pool_gather_chunk(kt_pool_t *pool, int16_t *batch_out,
+                             int32_t *counts_out, int32_t max_frames);
+
 /* Drop all buffered audio for one stream (stream reset/rebind). */
 void kt_pool_reset_stream(kt_pool_t *pool, int32_t stream);
 

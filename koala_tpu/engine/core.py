@@ -103,14 +103,36 @@ class Engine:
             committed = jax.tree_util.tree_map(select, new_state, state)
             return committed, out
 
+        def _chunk_masked(params, state, hops, counts):
+            # Backlog-draining pool step: hops [B, k, 256] with each stream's
+            # valid frames front-packed, counts [B] in [0, k]. Semantically a
+            # fold of _step_masked over the k frame slots with per-slot
+            # active mask (j < counts) — so results and committed state are
+            # IDENTICAL to k single-frame masked steps, but one device
+            # dispatch covers k frames per stream (the serving path's
+            # latency-amortization lever; VERDICT r2 missing #2).
+            k = hops.shape[-2]
+            hops_t = jnp.moveaxis(hops, -2, 0)                  # [k, B, 256]
+
+            def scan_fn(st, xs):
+                hop, j = xs
+                new_st, out = _step_masked(params, st, hop, j < counts)
+                return new_st, out
+
+            state, outs = jax.lax.scan(
+                scan_fn, state, (hops_t, jnp.arange(k)))
+            return state, jnp.moveaxis(outs, 0, -2)             # [B, k, 256]
+
         self.init_state = _init_state
         self.step = _step
         self.step_masked = _step_masked
         self.sequence = _sequence
+        self.chunk_masked = _chunk_masked
         # Donate state so per-call streaming keeps buffers resident on-device
         # with no realloc (SURVEY.md §7 hard-part 2: state residency).
         self.step_jit = jax.jit(_step, donate_argnums=(1,))
         self.step_masked_jit = jax.jit(_step_masked, donate_argnums=(1,))
+        self.chunk_masked_jit = jax.jit(_chunk_masked, donate_argnums=(1,))
         self.sequence_jit = jax.jit(_sequence, donate_argnums=(1,))
 
 

@@ -63,6 +63,11 @@ def load_hostlib() -> ctypes.CDLL:
     lib.kt_pool_gather_f32.argtypes = [ctypes.c_void_p,
                                        ctypes.POINTER(ctypes.c_float),
                                        ctypes.POINTER(ctypes.c_uint8)]
+    lib.kt_pool_gather_chunk.restype = ctypes.c_int32
+    lib.kt_pool_gather_chunk.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_int16),
+                                         ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.c_int32]
     lib.kt_pool_reset_stream.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.kt_pool_dropped_samples.restype = ctypes.c_int64
     lib.kt_pool_dropped_samples.argtypes = [ctypes.c_void_p]
@@ -97,6 +102,7 @@ class StreamPool:
         self.frame_length = frame_length
         self._batch = np.zeros((num_streams, frame_length), np.int16)
         self._active = np.zeros((num_streams,), np.uint8)
+        self._chunk_bufs = {}   # max_frames -> ([B,k,frame] i16, [B] i32)
 
     def push(self, stream: int, samples: np.ndarray) -> bool:
         """Append int16 samples to a stream; False if the ring overflowed."""
@@ -115,6 +121,24 @@ class StreamPool:
             self._handle, _i16ptr(self._batch),
             self._active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return self._batch, self._active.astype(bool), int(n)
+
+    def gather_chunk(self, max_frames: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        """-> (batch [B, k, frame] int16, counts [B] int32, total_frames).
+        Pops up to ``max_frames`` backlogged frames per stream; frames past
+        a stream's backlog are zero (the chunked engine step masks their
+        state commit). This is how the dispatcher amortizes one device
+        round-trip over k frames per stream."""
+        if max_frames not in self._chunk_bufs:
+            self._chunk_bufs[max_frames] = (
+                np.zeros((self.num_streams, max_frames, self.frame_length),
+                         np.int16),
+                np.zeros((self.num_streams,), np.int32))
+        batch, counts = self._chunk_bufs[max_frames]
+        total = self._lib.kt_pool_gather_chunk(
+            self._handle, _i16ptr(batch),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_frames)
+        return batch, counts, int(total)
 
     def reset_stream(self, stream: int) -> None:
         self._lib.kt_pool_reset_stream(self._handle, stream)

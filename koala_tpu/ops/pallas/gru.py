@@ -218,7 +218,9 @@ def gru_stack_ref(h0, x, layers):
 def gru_stack_trainable(h0, x, layers, interpret=False):
     """Differentiable fused recurrence: forward = the Pallas kernel,
     backward = analytic reverse-time scan over hidden states the kernel
-    streams out as residuals (return_hidden) — no forward recompute.
+    streams out as residuals (return_hidden) — no sequential forward
+    replay; each step's forward is re-linearized locally from the streamed
+    hidden residuals (the O(T) recurrence is never re-run).
 
     layers is the params["gru"] pytree (list of dicts), so gradients flow to
     the weights; VERDICT round-1 next-step #5 (training previously always
@@ -230,8 +232,21 @@ def gru_stack_trainable(h0, x, layers, interpret=False):
 
 
 def _trainable_fwd(h0, x, layers, interpret):
-    y, hs, h_final = gru_stack_pallas(h0, x, *flatten_layer_params(layers),
-                                      interpret=interpret, return_hidden=True)
+    L, b, hidden = h0.shape
+    if gru_stack_supported(L, b, hidden, return_hidden=True):
+        y, hs, h_final = gru_stack_pallas(
+            h0, x, *flatten_layer_params(layers),
+            interpret=interpret, return_hidden=True)
+    else:
+        # Shapes fit the inference kernel but not the training variant's
+        # extra hs stream: keep identical numerics via the scan mirror
+        # (slower forward, same residuals).
+        def body(h, x_t):
+            h_new, y_t = _layers_step(layers, h, x_t)
+            return h_new, (y_t, h_new)
+
+        h_final, (y, hs) = jax.lax.scan(
+            body, h0.astype(jnp.float32), x.astype(jnp.bfloat16))
     return (y, h_final), (h0, x, layers, hs)
 
 
@@ -260,9 +275,14 @@ def _trainable_bwd(interpret, res, cts):
 gru_stack_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
-def gru_stack_supported(num_layers: int, batch: int, hidden: int) -> bool:
+def gru_stack_supported(num_layers: int, batch: int, hidden: int,
+                        return_hidden: bool = False) -> bool:
     """Shape gate for the fused kernel: MXU/VPU-aligned dims and VMEM
-    headroom for the weights + per-step buffers at the given layer count."""
+    headroom for the weights + per-step buffers at the given layer count.
+    ``return_hidden`` models the TRAINING forward (gru_stack_trainable),
+    whose extra double-buffered [1,L,B,H] f32 hs output stream costs
+    2*L*B*H*4*2 bytes on top of the inference budget (ADVICE r2: shapes
+    near the gate can pass at inference yet OOM when differentiated)."""
     if num_layers < 1:
         return False
     if batch < 8 or batch % 8 != 0:
@@ -278,6 +298,8 @@ def gru_stack_supported(num_layers: int, batch: int, hidden: int) -> bool:
             + 4 * batch * hidden * 2
             + 2 * num_layers * batch * hidden * 4
             + num_layers * batch * 3 * hidden * 4)
+    if return_hidden:
+        vmem += 2 * num_layers * batch * hidden * 4 * 2
     return vmem < 14 * 1024 * 1024
 
 

@@ -181,6 +181,7 @@ def synth_utterance(rng: np.random.Generator,
     # speech has and that an enhancer must NOT confuse with band noise.
     syl_dur = 1.0 / spk["rate_sps"]
     events: List[Tuple[float, float, int, Optional[str], Optional[str]]] = []
+    pauses: List[Tuple[float, float]] = []   # inter-word gaps (breath sites)
     pos = float(rng.uniform(0.0, 0.12))
     while pos < duration_s:
         n_syl = int(rng.integers(1, 5))
@@ -199,7 +200,9 @@ def synth_utterance(rng: np.random.Generator,
             events.append((pos, min(pos + d, duration_s),
                            int(rng.integers(len(_VOWELS))), onset, coda))
             pos += d
-        pos += float(rng.uniform(0.06, 0.35))  # inter-word pause
+        pause_len = float(rng.uniform(0.06, 0.5))  # inter-word pause
+        pauses.append((pos, min(pos + pause_len, duration_s)))
+        pos += pause_len
 
     # ---- control tracks -------------------------------------------------
     voiced_env = np.zeros(n_ctrl)
@@ -243,7 +246,12 @@ def synth_utterance(rng: np.random.Generator,
         if coda == "fric":
             c_len = max(1, int(span * rng.uniform(0.25, 0.5)))
             env = fric_env_a if rng.random() < 0.75 else fric_env_b
-            env[i1 - c_len:i1] = rng.uniform(0.6, 1.5)
+            # Word-final fricatives TRAIL OFF: real "...s" codas decay to a
+            # whisper (the quiet broadband frames that dominate the pure-
+            # speech harness failures — frame RMS 0.02-0.05, flatness ~0.6).
+            lvl = rng.uniform(0.4, 1.5)
+            decay = np.linspace(1.0, rng.uniform(0.15, 0.7), c_len)
+            env[i1 - c_len:i1] = lvl * decay
             voiced_env[i1 - c_len:i1] *= 0.15
     # fill silent-region formants with the neighbor values (no zeros)
     held = formant_tracks.sum(axis=1) > 0
@@ -308,21 +316,36 @@ def synth_utterance(rng: np.random.Generator,
     voiced /= vmax
 
     # ---- aspiration + fricatives + plosive bursts ------------------------
-    # Two independent fricative channels with per-utterance random bands:
-    # a = sibilant ("s"/"sh", strong 2.5-8 kHz), b = non-sibilant ("f"/"th").
+    # Two independent fricative channels with per-utterance random spectra.
+    # Real unvoiced fricatives are NOT sharply band-limited: measured on the
+    # reference speech fixture, the quiet fricative frames have spectral
+    # flatness 0.5-0.7 and centroid 2.5-3.9 kHz (broadband with a gentle
+    # tilt). Sharp bandpass-only fricatives teach the model "quiet flat
+    # spectrum = noise", which is exactly the harness failure mode on real
+    # speech — so half the fricatives here are broadband-tilted.
     white = rng.standard_normal(n)
     spec = np.fft.rfft(white)
     fgrid = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
-    lo_a = float(rng.uniform(2300.0, 4500.0))
-    hi_a = float(rng.uniform(6000.0, 7950.0))
-    band_a = np.where((fgrid > lo_a) & (fgrid < hi_a), 1.0, 0.02)
-    fric_noise_a = np.fft.irfft(spec * band_a, n)
+
+    def fric_shape(lo_range, hi_range):
+        if rng.random() < 0.5:       # classic band-limited sibilant
+            lo = float(rng.uniform(*lo_range))
+            hi = float(rng.uniform(*hi_range))
+            return np.where((fgrid > lo) & (fgrid < hi), 1.0,
+                            float(rng.uniform(0.02, 0.15)))
+        # broadband: soft low-cut + random spectral tilt (dB/oct)
+        knee = float(rng.uniform(800.0, 2500.0))
+        tilt = float(rng.uniform(-3.0, 6.0))
+        shape = 1.0 / (1.0 + (knee / np.maximum(fgrid, 1.0)) ** 4)
+        shape *= (np.maximum(fgrid, 100.0) / 3000.0) ** (tilt / 6.0)
+        return shape
+
+    fric_noise_a = np.fft.irfft(spec * fric_shape((2300.0, 4500.0),
+                                                  (6000.0, 7950.0)), n)
     fric_noise_a /= np.max(np.abs(fric_noise_a)) + 1e-9
-    lo_b = float(rng.uniform(900.0, 2000.0))
-    hi_b = float(rng.uniform(3500.0, 7000.0))
-    band_b = np.where((fgrid > lo_b) & (fgrid < hi_b), 1.0, 0.02)
     spec_b = np.fft.rfft(rng.standard_normal(n))
-    fric_noise_b = np.fft.irfft(spec_b * band_b, n)
+    fric_noise_b = np.fft.irfft(spec_b * fric_shape((900.0, 2000.0),
+                                                    (3500.0, 7000.0)), n)
     fric_noise_b /= np.max(np.abs(fric_noise_b)) + 1e-9
     asp_noise = np.fft.irfft(spec * np.exp(-fgrid / 3000.0), n)
     asp_noise /= np.max(np.abs(asp_noise)) + 1e-9
@@ -339,11 +362,39 @@ def synth_utterance(rng: np.random.Generator,
                                    * np.hanning(blen * 2)[blen:]
                                    * rng.standard_normal(blen) * 0.8)
 
+    # ---- breaths: audible inhalations in inter-word pauses ---------------
+    # Real speakers breathe between phrases: quiet (peak 0.02-0.10 of the
+    # voiced peak) broadband noise with a slow envelope. An enhancer that
+    # treats breaths as noise fails the pure-speech RMS harness on real
+    # recordings, so they are part of SPEECH here (input == target).
+    breath_env = np.zeros(n_ctrl)
+    breath_spec_noise = np.fft.irfft(
+        np.fft.rfft(rng.standard_normal(n))
+        * np.exp(-((np.log(np.maximum(fgrid, 1.0))
+                    - np.log(float(rng.uniform(600.0, 1800.0)))) ** 2)
+                 / (2 * 0.8 ** 2)), n)
+    breath_spec_noise /= np.max(np.abs(breath_spec_noise)) + 1e-9
+    for (p0, p1) in pauses:
+        if p1 - p0 < 0.12 or rng.random() > 0.45:
+            continue
+        j0, j1 = int(p0 / 0.01) + 1, min(int(p1 / 0.01), n_ctrl - 1)
+        if j1 - j0 < 6:
+            continue
+        lvl = float(rng.uniform(0.02, 0.10))
+        breath_env[j0:j1] = lvl * np.hanning(j1 - j0)
+
+    # slow utterance-level gain wander (+-4 dB): trailing words get quieter,
+    # exactly the low-RMS regime where the harness failures live
+    wander_db = 4.0 * _smooth(rng.standard_normal(n_ctrl), 201)
+    gain_s = _upsample(10.0 ** (wander_db / 20.0), n)
+
     x = (voiced
          + spk["breathiness"] * asp_noise * voiced_s
          + spk["fric_gain"] * fric_noise_a * fric_s_a
          + spk["fric_gain"] * 0.6 * fric_noise_b * fric_s_b
+         + breath_spec_noise * _upsample(breath_env, n)
          + burst)
+    x = x * gain_s
     x = _apply_room_channel(rng, x)
     peak = np.max(np.abs(x)) + 1e-9
     return (x / peak * 0.4).astype(np.float32)

@@ -43,7 +43,7 @@ def snr_loss(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarr
 
 
 def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
-                 under_weight: float = 2.0,
+                 under_weight: float = 3.0,
                  topk_weight: float = 4.0) -> jnp.ndarray:
     """Per-frame RMS deviation over 256-sample frames — the exact quantity
     the acceptance harness bounds (reference binding/python/test_koala.py:75:

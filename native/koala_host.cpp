@@ -164,6 +164,26 @@ int32_t kt_pool_gather_f32(kt_pool_t *pool, float *batch_out,
     return active;
 }
 
+int32_t kt_pool_gather_chunk(kt_pool_t *pool, int16_t *batch_out,
+                             int32_t *counts_out, int32_t max_frames) {
+    if (!pool || !batch_out || !counts_out || max_frames <= 0) return -1;
+    const int32_t fl = pool->frame_length;
+    int32_t total = 0;
+    for (int32_t i = 0; i < pool->num_streams; ++i) {
+        int16_t *row = batch_out +
+                       static_cast<int64_t>(i) * max_frames * fl;
+        int32_t ready = static_cast<int32_t>(pool->rings[i].readable() / fl);
+        int32_t take = ready < max_frames ? ready : max_frames;
+        if (take > 0) pool->rings[i].pop(row, static_cast<int64_t>(take) * fl);
+        if (take < max_frames)
+            std::memset(row + static_cast<int64_t>(take) * fl, 0,
+                        sizeof(int16_t) * static_cast<int64_t>(max_frames - take) * fl);
+        counts_out[i] = take;
+        total += take;
+    }
+    return total;
+}
+
 void kt_pool_reset_stream(kt_pool_t *pool, int32_t stream) {
     if (!pool || stream < 0 || stream >= pool->num_streams) return;
     pool->rings[stream].clear();

@@ -48,26 +48,50 @@ def build_training_tapes(n_speech: int, n_noise: int, force: bool = False):
     return sp_path, no_path
 
 
+# Held-out battery (VERDICT r2 #6: one lucky dev pair can masquerade as
+# generalization). Each entry: (tag, speech_seed, noise_seed, noise_kind,
+# am_frac). Seeds are disjoint from the training seeds (100/200) and from
+# each other; noise kinds cover the full synthesis family incl. babble.
+DEV_BATTERY = [
+    ("",  9100, 9200, "am",        0.0),   # legacy pair, names kept
+    ("2", 9300, 9400, "colored",   0.0),
+    ("3", 9500, 9600, "band",      1.0),   # AM-family speech
+    ("4", 9700, 9800, "tonal",     0.0),
+    ("5", 9900, 10000, "babble",   0.5),
+    ("6", 10100, 10200, "impulsive", 0.0),
+]
+
+
 def build_dev_fixtures(force: bool = False):
-    """5.855 s held-out speech/noise WAVs (same duration as the reference
-    fixtures so the parity harness runs identically)."""
+    """Held-out 5.855 s speech/noise WAV pairs (same duration as the
+    reference fixtures so the parity harness runs identically) — one pair
+    per DEV_BATTERY row, fresh seeds per pair, full noise-kind coverage."""
     from koala_tpu.io import write_wav
-    from koala_tpu.train.corpus import build_speech_tape, synth_noise_clip
+    from koala_tpu.train.corpus import (build_speech_tape, synth_babble,
+                                        synth_noise_clip)
 
     os.makedirs(SAMPLES_DIR, exist_ok=True)
     n = int(5.855 * 16000)
-    sp_path = os.path.join(SAMPLES_DIR, "speech_dev.wav")
-    no_path = os.path.join(SAMPLES_DIR, "noise_dev.wav")
-    if force or not os.path.exists(sp_path):
-        speech = build_speech_tape(DEV_SPEECH_SEED, 2, dur_range=(3.0, 3.2))[:n]
-        write_wav(sp_path, np.round(speech * 32767).astype(np.int16))
-        print("wrote", sp_path)
-    if force or not os.path.exists(no_path):
-        rng = np.random.default_rng(DEV_NOISE_SEED)
-        noise = synth_noise_clip(rng, 5.855, "am") * 0.04
-        write_wav(no_path, np.round(np.clip(noise, -1, 1) * 32767).astype(np.int16))
-        print("wrote", no_path)
-    return sp_path, no_path
+    out = []
+    for tag, sp_seed, no_seed, kind, am_frac in DEV_BATTERY:
+        sp_path = os.path.join(SAMPLES_DIR, "speech_dev%s.wav" % tag)
+        no_path = os.path.join(SAMPLES_DIR, "noise_dev%s.wav" % tag)
+        if force or not os.path.exists(sp_path):
+            speech = build_speech_tape(sp_seed, 2, dur_range=(3.0, 3.2),
+                                       am_frac=am_frac)[:n]
+            write_wav(sp_path, np.round(speech * 32767).astype(np.int16))
+            print("wrote", sp_path)
+        if force or not os.path.exists(no_path):
+            rng = np.random.default_rng(no_seed)
+            if kind == "babble":
+                noise = synth_babble(rng, 5.855, 6) * 0.04
+            else:
+                noise = synth_noise_clip(rng, 5.855, kind) * 0.04
+            write_wav(no_path,
+                      np.round(np.clip(noise, -1, 1) * 32767).astype(np.int16))
+            print("wrote", no_path)
+        out.append((sp_path, no_path))
+    return out[0]
 
 
 def main():

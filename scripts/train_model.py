@@ -61,14 +61,18 @@ def eval_all(params, cfg):
     from koala_tpu.io import read_wav
     from koala_tpu.train.evaluate import evaluate
 
+    from make_corpus import DEV_BATTERY
+
     sets = {
         "reference": (os.path.join(REF_SAMPLES, "test.wav"),
                       os.path.join(REF_SAMPLES, "noise.wav")),
         "synth_fixture": (os.path.join(OWN_SAMPLES, "speech_synth.wav"),
                           os.path.join(OWN_SAMPLES, "noise_synth.wav")),
-        "dev_heldout": (os.path.join(OWN_SAMPLES, "speech_dev.wav"),
-                        os.path.join(OWN_SAMPLES, "noise_dev.wav")),
     }
+    for tag, _, _, kind, _ in DEV_BATTERY:
+        sets["dev_heldout%s:%s" % (tag, kind)] = (
+            os.path.join(OWN_SAMPLES, "speech_dev%s.wav" % tag),
+            os.path.join(OWN_SAMPLES, "noise_dev%s.wav" % tag))
     cpu = jax.devices("cpu")[0]
     all_results = {}
     for name, (sp, no) in sets.items():
@@ -120,6 +124,20 @@ def main():
         cfg = None
         if args.init_from:
             params, cfg = params_io.load_params(args.init_from)
+            # Merge into a fresh init so heads added since the checkpoint
+            # (e.g. the passthrough gate) get their default values.
+            from koala_tpu.models import mask_gru
+
+            def merge(fresh, loaded):
+                if isinstance(fresh, dict):
+                    return {k: merge(v, loaded[k]) if k in loaded else v
+                            for k, v in fresh.items()}
+                if isinstance(fresh, list):
+                    return [merge(f, l) for f, l in zip(fresh, loaded)]
+                return loaded
+            import jax
+            fresh = mask_gru.init_params(jax.random.PRNGKey(args.seed), cfg)
+            params = merge(fresh, params)
         if args.speech or args.noise:
             speech_tape, noise_tape = build_wav_tapes(
                 args.speech or [], args.noise or [])
