@@ -59,6 +59,21 @@ DEFAULT_CONFIG = {
     "feat_eps": 1e-4,
     "feat_scale": 0.25,   # affine on log-magnitude, roughly unit-variance
     "feat_shift": 1.5,
+    # Noise-floor tracker (minimum statistics): per-stream banded log-energy
+    # floor that drops instantly to new minima and creeps up ``floor_rise``
+    # ln-units per 16 ms frame (~6.4 dB/s). The model input gains
+    # ``snr_bands`` posterior-SNR features clip((log E_band - floor) *
+    # snr_scale, 0, snr_clip). Rationale: the acceptance harness's hardest
+    # real-speech frames are quiet broadband fricatives that are locally
+    # noise-like; what disambiguates them is that the STREAM's noise floor
+    # is far below them (clean recording). Posterior SNR is self-normalizing
+    # (level/channel-invariant), so it transfers from synthetic training
+    # speech to real recordings where absolute spectral templates do not.
+    # snr_bands=0 disables the tracker (legacy model files).
+    "snr_bands": 32,
+    "floor_rise": 0.012,
+    "snr_scale": 0.2,
+    "snr_clip": 4.0,
     # MXU compute dtype for the model matmuls (accumulation stays f32 via
     # preferred_element_type). bfloat16 runs the MXU at full rate; the mask
     # head stays well inside the harness tolerance. Gate math and state
@@ -145,8 +160,9 @@ def init_params(key, config: Dict[str, Any] = None) -> Dict[str, Any]:
             "bh": jnp.zeros((3 * dim,), jnp.float32),
         }
 
+    enc_in = bins + (cfg.get("snr_bands") or 0)
     params = {
-        "enc": dense(keys[0], bins, h),
+        "enc": dense(keys[0], enc_in, h),
         "gru": [gru(keys[2 + 2 * i], keys[3 + 2 * i], h) for i in range(layers)],
         "dec": dense(keys[1], h, bins),
         # Passthrough gate head: zero weights + bias -2 => g ~= 0.12 at
@@ -166,6 +182,41 @@ def features(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarr
     """Spectrum -> model input features: scaled log-magnitude."""
     mag = jnp.sqrt(re * re + im * im + cfg["feat_eps"] ** 2)
     return (jnp.log(mag) + cfg["feat_shift"]) * cfg["feat_scale"]
+
+
+@functools.lru_cache(maxsize=8)
+def _band_matrix_np(bins: int, nb: int):
+    """[bins, nb] mel-spaced contiguous averaging pools (fixed, not learned)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    hz = 700.0 * (10.0 ** (np.linspace(0.0, hz_to_mel(8000.0), nb + 1)
+                           / 2595.0) - 1.0)
+    edges = np.round(hz / 8000.0 * (bins - 1)).astype(np.int64)
+    edges = np.maximum(edges, np.arange(nb + 1))      # ensure distinct groups
+    edges[-1] = bins
+    m = np.zeros((bins, nb), np.float32)
+    for j in range(nb):
+        lo, hi = int(edges[j]), int(edges[j + 1])
+        m[lo:hi, j] = 1.0 / max(hi - lo, 1)
+    return m
+
+
+def band_log_energy(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarray:
+    """Spectrum [*, K] -> banded log-energy [*, nb] (floor-tracker domain)."""
+    m = jnp.asarray(_band_matrix_np(cfg["bins"], cfg["snr_bands"]))
+    e = jnp.matmul(re * re + im * im, m)
+    return jnp.log(e + cfg["feat_eps"] ** 2)
+
+
+def _floor_update(floor, lb, cfg):
+    """One frame of minimum-statistics tracking: drop to new minima, creep
+    up floor_rise per frame otherwise. floor/lb [*, nb] log-energy."""
+    return jnp.minimum(floor + cfg["floor_rise"], lb)
+
+
+def _snr_features(lb, floor, cfg):
+    return jnp.clip((lb - floor) * cfg["snr_scale"], 0.0, cfg["snr_clip"])
 
 
 def _mask_head(params, x, cfg):
@@ -196,22 +247,38 @@ def init_state(batch_shape: Tuple[int, ...], config: Dict[str, Any] = None,
     # Batch dims LEAD (engine contract: every state leaf is [*batch, ...] so
     # per-stream masked reset can broadcast a [*batch] mask over any leaf).
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
-    return jnp.zeros(tuple(batch_shape) + (cfg["num_layers"], cfg["hidden"]), dtype)
+    h = jnp.zeros(tuple(batch_shape) + (cfg["num_layers"], cfg["hidden"]), dtype)
+    nb = cfg.get("snr_bands") or 0
+    if not nb:
+        return h          # legacy (pre-tracker) state layout
+    # floor init = +30 log-energy (far above any real signal) so the first
+    # frame's minimum claims it immediately — a fresh stream has no history.
+    return {"h": h,
+            "floor": jnp.full(tuple(batch_shape) + (nb,), 30.0, dtype)}
 
 
 def step(params, state, re, im, config: Dict[str, Any] = None):
-    """Single-frame step: ([*,L,H] state, [*,K] spectrum) -> (state', mask [*,K])."""
+    """Single-frame step: (state pytree, [*,K] spectrum) -> (state', mask [*,K])."""
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    nb = cfg.get("snr_bands") or 0
     x = features(re, im, cfg)
+    if nb:
+        lb = band_log_energy(re, im, cfg)
+        floor = _floor_update(state["floor"], lb, cfg)
+        x = jnp.concatenate([x, _snr_features(lb, floor, cfg)], axis=-1)
+        hstate = state["h"]
+    else:
+        hstate = state
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])
     new_states = []
     for i, layer in enumerate(params["gru"]):
         xproj = _mm(x, layer["wx"], cfg) + layer["bx"]
-        h = _gru_recurrent(layer, state[..., i, :], xproj, cfg)
+        h = _gru_recurrent(layer, hstate[..., i, :], xproj, cfg)
         new_states.append(h)
         x = x + h  # residual
     mask = _mask_head(params, x, cfg)
-    return jnp.stack(new_states, axis=-2), mask
+    h_new = jnp.stack(new_states, axis=-2)
+    return ({"h": h_new, "floor": floor} if nb else h_new), mask
 
 
 def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
@@ -221,7 +288,25 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
     decoder) out of the scan; the scan carries only [L, *, H] hidden state.
     """
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    nb = cfg.get("snr_bands") or 0
     x = features(re, im, cfg)                                   # [*, T, K]
+    if nb:
+        # Floor tracking is a cheap elementwise recurrence over [*, nb]; it
+        # runs as its own lax.scan (sequential min/add, bit-identical to the
+        # step path and exactly chunkable) while all heavy matmuls stay
+        # hoisted out of the scan.
+        lb = band_log_energy(re, im, cfg)                       # [*, T, nb]
+        t_ax = lb.ndim - 2
+        lb_t = jnp.moveaxis(lb, t_ax, 0)                        # [T, *, nb]
+
+        def floor_scan(fl, lb_step):
+            fl2 = _floor_update(fl, lb_step, cfg)
+            return fl2, fl2
+
+        floor_final, floors = jax.lax.scan(floor_scan, state["floor"], lb_t)
+        snr = _snr_features(lb_t, floors, cfg)
+        x = jnp.concatenate([x, jnp.moveaxis(snr, 0, t_ax)], axis=-1)
+        state = state["h"]
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])  # [*, T, H]
 
     if _pallas_enabled(cfg, x):
@@ -236,6 +321,8 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
             params["gru"])
         x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
         state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
+        if nb:
+            state = {"h": state, "floor": floor_final}
         return state, _mask_head(params, x, cfg)
 
     t_axis = x.ndim - 2
@@ -250,6 +337,8 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
         h_final, hs = jax.lax.scan(scan_fn, state[..., i, :], xproj_t)  # hs: [T, *, H]
         state = state.at[..., i, :].set(h_final)
         x = x + jnp.moveaxis(hs, 0, t_axis)
+    if nb:
+        state = {"h": state, "floor": floor_final}
     return state, _mask_head(params, x, cfg)
 
 

@@ -138,8 +138,11 @@ def _apply_room_channel(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
     channel through; reference Koala does not dereverb), so callers use the
     processed signal as BOTH input and target."""
     n = len(x)
-    # -- reverb (p=0.5): exponentially-decaying noise tail RIR -------------
-    if rng.random() < 0.5:
+    # -- reverb (p=0.65): early reflections + exponential diffuse tail -----
+    # The discrete early taps produce comb-filter ripple across the whole
+    # spectrum — the per-bin raggedness every real-room recording has and
+    # smooth studio-synth audio lacks.
+    if rng.random() < 0.65:
         rt60 = float(rng.uniform(0.05, 0.45))
         tail_n = int(rt60 * SAMPLE_RATE)
         t = np.arange(tail_n) / SAMPLE_RATE
@@ -147,6 +150,10 @@ def _apply_room_channel(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
         drr_db = float(rng.uniform(4.0, 18.0))   # direct-to-reverb ratio
         tail *= 10.0 ** (-drr_db / 20.0) / (np.sqrt(np.sum(tail ** 2)) + 1e-9)
         rir = np.concatenate([[1.0], tail])
+        for _ in range(int(rng.integers(1, 5))):  # early reflections
+            d = int(rng.uniform(0.0015, 0.015) * SAMPLE_RATE)
+            if d < len(rir):
+                rir[d] += rng.uniform(0.1, 0.5) * (1 if rng.random() < 0.5 else -1)
         x = np.fft.irfft(np.fft.rfft(x, n + tail_n)
                          * np.fft.rfft(rir, n + tail_n), n + tail_n)[:n]
     # -- channel EQ (p=0.7): smooth random ripple + tilt over log-f --------
@@ -233,7 +240,12 @@ def synth_utterance(rng: np.random.Generator,
             if onset == "fric":
                 env = fric_env_a if rng.random() < 0.6 else fric_env_b
                 env[i0:i0 + c_len] = rng.uniform(0.5, 1.3)
-                voiced_env[i0:i0 + c_len] *= 0.25
+                # voiced fricatives (/z/, /v/) keep substantial voicing under
+                # the noise — real quiet fricative frames often carry a
+                # strong low band from the decaying vowel (measured on the
+                # reference fixture, frames 167-169)
+                voiced_env[i0:i0 + c_len] *= (
+                    rng.uniform(0.4, 0.7) if rng.random() < 0.35 else 0.25)
             elif onset == "nasal":
                 # murmur: low formants, heavy extra rolloff, softer voicing
                 formant_tracks[i0:i0 + c_len] = (
@@ -327,18 +339,31 @@ def synth_utterance(rng: np.random.Generator,
     spec = np.fft.rfft(white)
     fgrid = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
 
+    def _ragged(shape):
+        # Per-bin random ripple (correlated over a few hundred Hz): real
+        # fricative/breath frames measure +-10 dB band-to-band raggedness
+        # (room combing + turbulent source), while smooth synthetic spectra
+        # are exactly what lets a model separate "synth speech" from noise.
+        sigma = float(rng.uniform(0.4, 1.3))
+        ripple = rng.standard_normal(len(shape))
+        k = np.hanning(max(3, int(len(shape) * 60.0 / (SAMPLE_RATE / 2))))
+        ripple = np.convolve(ripple, k / (np.sqrt(np.sum(k ** 2)) + 1e-9),
+                             mode="same")
+        return shape * np.exp(sigma * ripple)
+
     def fric_shape(lo_range, hi_range):
         if rng.random() < 0.5:       # classic band-limited sibilant
             lo = float(rng.uniform(*lo_range))
             hi = float(rng.uniform(*hi_range))
-            return np.where((fgrid > lo) & (fgrid < hi), 1.0,
-                            float(rng.uniform(0.02, 0.15)))
-        # broadband: soft low-cut + random spectral tilt (dB/oct)
-        knee = float(rng.uniform(800.0, 2500.0))
-        tilt = float(rng.uniform(-3.0, 6.0))
-        shape = 1.0 / (1.0 + (knee / np.maximum(fgrid, 1.0)) ** 4)
-        shape *= (np.maximum(fgrid, 100.0) / 3000.0) ** (tilt / 6.0)
-        return shape
+            shape = np.where((fgrid > lo) & (fgrid < hi), 1.0,
+                             float(rng.uniform(0.02, 0.15)))
+        else:
+            # broadband: soft low-cut + random spectral tilt (dB/oct)
+            knee = float(rng.uniform(800.0, 2500.0))
+            tilt = float(rng.uniform(-3.0, 6.0))
+            shape = 1.0 / (1.0 + (knee / np.maximum(fgrid, 1.0)) ** 4)
+            shape *= (np.maximum(fgrid, 100.0) / 3000.0) ** (tilt / 6.0)
+        return _ragged(shape)
 
     fric_noise_a = np.fft.irfft(spec * fric_shape((2300.0, 4500.0),
                                                   (6000.0, 7950.0)), n)
@@ -347,7 +372,7 @@ def synth_utterance(rng: np.random.Generator,
     fric_noise_b = np.fft.irfft(spec_b * fric_shape((900.0, 2000.0),
                                                     (3500.0, 7000.0)), n)
     fric_noise_b /= np.max(np.abs(fric_noise_b)) + 1e-9
-    asp_noise = np.fft.irfft(spec * np.exp(-fgrid / 3000.0), n)
+    asp_noise = np.fft.irfft(spec * _ragged(np.exp(-fgrid / 3000.0)), n)
     asp_noise /= np.max(np.abs(asp_noise)) + 1e-9
 
     fric_s_a = _upsample(fric_env_a, n)
@@ -370,9 +395,9 @@ def synth_utterance(rng: np.random.Generator,
     breath_env = np.zeros(n_ctrl)
     breath_spec_noise = np.fft.irfft(
         np.fft.rfft(rng.standard_normal(n))
-        * np.exp(-((np.log(np.maximum(fgrid, 1.0))
-                    - np.log(float(rng.uniform(600.0, 1800.0)))) ** 2)
-                 / (2 * 0.8 ** 2)), n)
+        * _ragged(np.exp(-((np.log(np.maximum(fgrid, 1.0))
+                            - np.log(float(rng.uniform(600.0, 1800.0)))) ** 2)
+                         / (2 * 0.8 ** 2))), n)
     breath_spec_noise /= np.max(np.abs(breath_spec_noise)) + 1e-9
     for (p0, p1) in pauses:
         if p1 - p0 < 0.12 or rng.random() > 0.45:

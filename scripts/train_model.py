@@ -90,6 +90,35 @@ def eval_all(params, cfg):
     return all_results
 
 
+def check_gates(results) -> bool:
+    """The bundled-model acceptance gates (mirrors tests/test_parity.py):
+    energy parity < 0.02 on every set, SI-SDR and no-STOI-regression
+    floors. Returns True iff everything passes; used by CI (--gate) so a
+    stale or regressed bundle can never ship silently (VERDICT r2 #4)."""
+    ok = True
+
+    def gate(cond, what):
+        nonlocal ok
+        if not cond:
+            ok = False
+            print("GATE FAIL: %s" % what)
+
+    for name, r in results.items():
+        for key in ("dev_pure_speech", "dev_pure_noise", "dev_mixed"):
+            gate(r[key] < 0.02, "%s %s=%.4f >= 0.02" % (name, key, r[key]))
+        gate(r["stoi_mixed"] > r["stoi_input"] - 0.01,
+             "%s stoi regresses %.3f -> %.3f" % (name, r["stoi_input"],
+                                                 r["stoi_mixed"]))
+        gate(r["si_sdr_gain_db"] > 3.0,
+             "%s si_sdr_gain=%.1f <= 3 dB" % (name, r["si_sdr_gain_db"]))
+    if "reference" in results:
+        gate(results["reference"]["si_sdr_mixed_db"] > 12.0,
+             "reference si_sdr_mixed=%.1f <= 12 dB"
+             % results["reference"]["si_sdr_mixed_db"])
+    print("ALL GATES PASS" if ok else "GATES FAILED")
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
@@ -104,6 +133,8 @@ def main():
     ap.add_argument("--init-from", default=None, help="warm-start model file")
     ap.add_argument("--out", default=None)
     ap.add_argument("--report", default=None, help="write eval JSON here")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 unless every acceptance gate passes")
     ap.add_argument("--speech", nargs="*", default=None,
                     help="legacy WAV-tape mode (not used by default)")
     ap.add_argument("--noise", nargs="*", default=None)
@@ -162,6 +193,8 @@ def main():
         with open(args.report, "w") as f:
             json.dump(results, f, indent=1)
         print("report ->", args.report)
+    if args.gate and not check_gates(results):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

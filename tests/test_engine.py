@@ -50,7 +50,7 @@ def test_step_fold_equals_sequence(kind, rng):
     np.testing.assert_allclose(folded, np.asarray(seq_out), atol=1e-5)
     for a, c in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=3e-5)
 
 
 def test_identity_engine_is_pure_delay(rng):

@@ -23,7 +23,7 @@ def _drain(server, stream, expected_samples, timeout=30.0):
     return np.concatenate(out) if out else np.zeros((0,), np.int16)
 
 
-def test_server_matches_direct_stream(access_key, mmse_model, rng):
+def test_server_matches_direct_stream(access_key, serve_model, rng):
     """Frames served through the async pipeline must equal the synchronous
     single-stream engine output bit-for-bit."""
     import koala_tpu
@@ -31,14 +31,14 @@ def test_server_matches_direct_stream(access_key, mmse_model, rng):
     t = 12
     pcm = (rng.standard_normal(t * FRAME_LENGTH) * 6000).astype(np.int16)
 
-    k = koala_tpu.create(access_key, model_path=mmse_model, device="cpu")
+    k = koala_tpu.create(access_key, model_path=serve_model, device="cpu")
     direct = []
     for s in range(0, len(pcm), FRAME_LENGTH):
         direct.append(np.asarray(k.process(pcm[s:s + FRAME_LENGTH].tolist()), np.int16))
     direct = np.concatenate(direct)
     k.delete()
 
-    server = StreamingServer(access_key, num_streams=4, model_path=mmse_model,
+    server = StreamingServer(access_key, num_streams=4, model_path=serve_model,
                              device="cpu")
     try:
         server.push(2, pcm)
@@ -50,13 +50,13 @@ def test_server_matches_direct_stream(access_key, mmse_model, rng):
         server.close()
 
 
-def test_server_interleaved_streams(access_key, mmse_model, rng):
+def test_server_interleaved_streams(access_key, serve_model, rng):
     """Two streams with different push cadences both produce correct audio."""
     t = 8
     pcm0 = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
     pcm1 = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
 
-    server = StreamingServer(access_key, num_streams=2, model_path=mmse_model,
+    server = StreamingServer(access_key, num_streams=2, model_path=serve_model,
                              device="cpu")
     try:
         # stream 0 gets everything at once; stream 1 dribbles frame by frame
@@ -71,7 +71,7 @@ def test_server_interleaved_streams(access_key, mmse_model, rng):
 
     import koala_tpu
     for pcm, out in ((pcm0, out0), (pcm1, out1)):
-        k = koala_tpu.create(access_key, model_path=mmse_model, device="cpu")
+        k = koala_tpu.create(access_key, model_path=serve_model, device="cpu")
         direct = np.concatenate([
             np.asarray(k.process(pcm[s:s + FRAME_LENGTH].tolist()), np.int16)
             for s in range(0, len(pcm), FRAME_LENGTH)])
@@ -79,10 +79,10 @@ def test_server_interleaved_streams(access_key, mmse_model, rng):
         np.testing.assert_allclose(out, direct, atol=1)
 
 
-def test_server_reset_stream(access_key, mmse_model, rng):
+def test_server_reset_stream(access_key, serve_model, rng):
     t = 6
     pcm = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
-    server = StreamingServer(access_key, num_streams=2, model_path=mmse_model,
+    server = StreamingServer(access_key, num_streams=2, model_path=serve_model,
                              device="cpu")
     try:
         server.push(0, pcm)

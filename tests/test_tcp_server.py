@@ -26,7 +26,7 @@ def _free_port():
 
 
 @pytest.fixture(scope="module")
-def server_proc(mmse_model):
+def server_proc(serve_model):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -35,7 +35,7 @@ def server_proc(mmse_model):
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "scripts", "serve_tcp.py"),
          "--port", str(port), "--streams", "4",
-         "--model_path", mmse_model, "--device", "cpu"],
+         "--model_path", serve_model, "--device", "cpu"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     # wait for readiness
     deadline = time.time() + 120

@@ -89,12 +89,12 @@ def _free_port():
 
 
 @pytest.fixture(scope="module")
-def web_server(mmse_model):
+def web_server(serve_model):
     port = _free_port()
     env = dict(os.environ, KOALA_TPU_PLATFORMS="cpu")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "scripts", "serve_web.py"),
-         "--port", str(port), "--streams", "4", "--model_path", mmse_model],
+         "--port", str(port), "--streams", "4", "--model_path", serve_model],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         cwd=REPO)
     deadline = time.time() + 60
@@ -135,7 +135,7 @@ def _stream_through_ws(host, ws_port, pcm: np.ndarray) -> np.ndarray:
     return np.frombuffer(out, dtype="<i2")
 
 
-def test_ws_roundtrip_matches_direct_engine(web_server, mmse_model, rng):
+def test_ws_roundtrip_matches_direct_engine(web_server, serve_model, rng):
     """Enhanced audio over the browser transport == direct engine output
     with delay compensation (the serve-side head-trim/tail-flush)."""
     import jax.numpy as jnp
@@ -152,8 +152,8 @@ def test_ws_roundtrip_matches_direct_engine(web_server, mmse_model, rng):
     got = _stream_through_ws(host, port + 1, pcm)
     assert len(got) == n
 
-    params, config = params_io.load_params(mmse_model)
-    engine = make_engine("mmse", config)
+    params, config = params_io.load_params(serve_model)
+    engine = make_engine(config.get("kind", "mmse"), config)
     hops = jnp.asarray(pcm.astype(np.float32) / 32768.0).reshape(-1, FRAME_LENGTH)
     pad = jnp.zeros((2, FRAME_LENGTH))
     _, out = engine.sequence(params, engine.init_state(()),
