@@ -536,7 +536,7 @@ def synth_babble(rng: np.random.Generator, duration_s: float,
 
 def build_speech_tape(seed: int, n_utterances: int,
                       dur_range: Tuple[float, float] = (2.5, 5.0),
-                      am_frac: float = 0.25,
+                      am_frac: float = 0.0,
                       log_every: int = 0) -> np.ndarray:
     """Concatenated multi-speaker speech, float32 peak ~0.4.
     ``am_frac`` of the utterances come from the AM-harmonic family."""

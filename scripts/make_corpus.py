@@ -53,11 +53,16 @@ def build_training_tapes(n_speech: int, n_noise: int, force: bool = False):
 # am_frac). Seeds are disjoint from the training seeds (100/200) and from
 # each other; noise kinds cover the full synthesis family incl. babble.
 DEV_BATTERY = [
+    # All speech from the Klatt source-filter family (am_frac=0): the
+    # AM-harmonic "speech" family was removed from the task — an AM-gated
+    # harmonic stack is the DEFINITION of the "am"/"tonal" noise classes,
+    # so labeling the same signal type speech in one example and noise in
+    # the next forced fragile discriminators and destabilized training.
     ("",  9100, 9200, "am",        0.0),   # legacy pair, names kept
     ("2", 9300, 9400, "colored",   0.0),
-    ("3", 9500, 9600, "band",      1.0),   # AM-family speech
+    ("3", 9500, 9600, "band",      0.0),
     ("4", 9700, 9800, "tonal",     0.0),
-    ("5", 9900, 10000, "babble",   0.5),
+    ("5", 9900, 10000, "babble",   0.0),
     ("6", 10100, 10200, "impulsive", 0.0),
 ]
 
