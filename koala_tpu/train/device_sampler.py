@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 P_SILENCE = 0.05
 P_SPEECH_ONLY = 0.25   # generous: the acceptance harness's hardest case is
-P_NOISE_ONLY = 0.15    # perfect pass-through of clean speech
-P_BABBLE = 0.15
+P_NOISE_ONLY = 0.18    # perfect pass-through of clean speech
+P_BABBLE = 0.25        # babble is the hardest pure-noise case (speech-like)
 
 
 def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
@@ -34,7 +34,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     which bloats the executable by the tape size (hundreds of MB for a real
     corpus) and breaks remote-compile payload limits."""
     seg = segment
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
 
     def crops(tape, k, shape):
         starts = jax.random.randint(k, shape, 0, tape.shape[0] - seg + 1)
@@ -48,7 +48,14 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     s = s * gain
 
     n = crops(noise_tape, ks[2], (batch,))
-    babble = jnp.mean(crops(speech_tape, ks[3], (batch, 4)), axis=1)
+    # Babble: up to 8 overlapped talkers with squared-uniform gains (some
+    # near zero), matching the variable talker-count/gain structure of
+    # synth_babble — equal-weight 4-talker mixes alone taught the model a
+    # too-narrow notion of babble (dev5 showed near-full passthrough).
+    bg = jax.random.uniform(ks[8], (batch, 8, 1)) ** 2
+    talkers = crops(speech_tape, ks[3], (batch, 8))
+    babble = (jnp.sum(talkers * bg, axis=1)
+              / jnp.sqrt(jnp.sum(bg * bg, axis=1) + 1e-6))
     use_babble = jax.random.uniform(ks[4], (batch, 1)) < P_BABBLE
     n = jnp.where(use_babble, babble, n)
 
