@@ -409,6 +409,34 @@ def synth_utterance(rng: np.random.Generator,
     asp_noise = np.fft.irfft(spec * _ragged(np.exp(-fgrid / 3000.0)), n)
     asp_noise /= np.max(np.abs(asp_noise)) + 1e-9
 
+    # ---- vocal fry on decaying tails -------------------------------------
+    # Real utterance-final voicing is often CREAKY: irregular glottal
+    # pulses (period 6-12 ms, 20-40% jitter, strong shimmer) with a damped
+    # formant ring between them — weak periodicity (autocorr ~0.4 on the
+    # reference fixture's tails) that a steady sinusoid bank never makes.
+    fry = np.zeros(n)
+    for (t_pos, dur, lvl, _tilt) in tails:
+        if rng.random() < 0.6:
+            s0 = int(t_pos * SAMPLE_RATE)
+            s1 = min(s0 + int(dur * SAMPLE_RATE), n)
+            period = rng.uniform(0.006, 0.012)
+            f_ring = rng.uniform(150.0, 700.0)
+            tau = rng.uniform(0.002, 0.006)
+            t_p = float(s0)
+            while t_p < s1:
+                ring_n = min(int(4 * tau * SAMPLE_RATE), s1 - int(t_p))
+                if ring_n <= 0:
+                    break
+                tt = np.arange(ring_n) / SAMPLE_RATE
+                amp = (lvl * (1.0 - (t_p - s0) / max(s1 - s0, 1))
+                       * max(0.2, 1.0 + 0.5 * rng.standard_normal()))
+                fry[int(t_p):int(t_p) + ring_n] += (
+                    amp * np.exp(-tt / tau)
+                    * np.cos(2 * np.pi * f_ring * tt
+                             + rng.uniform(0, 6.28)))
+                t_p += (period * SAMPLE_RATE
+                        * max(0.3, 1.0 + 0.3 * rng.standard_normal()))
+
     fric_s_a = _upsample(fric_env_a, n)
     fric_s_b = _upsample(fric_env_b, n)
     voiced_s = _upsample(voiced_env, n)
@@ -452,6 +480,7 @@ def synth_utterance(rng: np.random.Generator,
          + spk["fric_gain"] * fric_noise_a * fric_s_a
          + spk["fric_gain"] * 0.6 * fric_noise_b * fric_s_b
          + breath_spec_noise * _upsample(breath_env, n)
+         + fry
          + burst)
     x = x * gain_s
     x = _apply_room_channel(rng, x)
