@@ -34,7 +34,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     which bloats the executable by the tape size (hundreds of MB for a real
     corpus) and breaks remote-compile payload limits."""
     seg = segment
-    ks = jax.random.split(key, 9)
+    ks = jax.random.split(key, 10)
 
     def crops(tape, k, shape):
         starts = jax.random.randint(k, shape, 0, tape.shape[0] - seg + 1)
@@ -77,13 +77,22 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     n_peak = jnp.max(jnp.abs(n_only), axis=1, keepdims=True)
     n_only = n_only * jnp.minimum(1.0, 0.98 / jnp.maximum(n_peak, eps))
 
+    # Speech-only examples carry a faint recording floor (-52..-36 dBFS)
+    # in BOTH input and target: the acceptance harness's pure-speech case
+    # passes a real file WITH its noise floor through unchanged, and a
+    # model trained to scrub every last trace of noise learns to scrub
+    # low-level ambiguous speech content (quiet fricatives, fry) with it.
+    floor_lvl = 10.0 ** (jax.random.uniform(ks[9], (batch, 1),
+                                            minval=-52.0, maxval=-36.0) / 20.0)
+    s_floored = s + n * (floor_lvl / n_rms)
+
     u = jax.random.uniform(ks[7], (batch, 1))
     zeros = jnp.zeros_like(s)
     c1 = u < P_SILENCE
     c2 = u < P_SILENCE + P_SPEECH_ONLY
     c3 = u < P_SILENCE + P_SPEECH_ONLY + P_NOISE_ONLY
-    noisy = jnp.where(c1, zeros, jnp.where(c2, s, jnp.where(c3, n_only, mix)))
-    clean = jnp.where(c1, zeros, jnp.where(c2, s, jnp.where(c3, zeros, s_mix)))
+    noisy = jnp.where(c1, zeros, jnp.where(c2, s_floored, jnp.where(c3, n_only, mix)))
+    clean = jnp.where(c1, zeros, jnp.where(c2, s_floored, jnp.where(c3, zeros, s_mix)))
     return noisy, clean
 
 
