@@ -63,9 +63,21 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     s_rms = jnp.sqrt(jnp.mean(s * s, axis=1, keepdims=True) + eps)
     n_rms = jnp.sqrt(jnp.mean(n * n, axis=1, keepdims=True) + eps)
 
-    # up to 30 dB so near-clean speech (tiny noise floor) is in-distribution
-    snr = jax.random.uniform(ks[5], (batch, 1), minval=-5.0, maxval=30.0)
-    n_mix = n * (s_rms / n_rms) * 10.0 ** (-snr / 20.0)
+    # Two mixture parameterizations, half/half:
+    # - relative SNR U[-5,30] dB (the classic sweep), and
+    # - ABSOLUTE noise level U[-34,-18] dBFS: the gray zone just above the
+    #   passthrough floor (see s_floored below). Together they pin the
+    #   decision boundary: noise <= -36 dBFS under speech is floor (keep),
+    #   noise >= -34 dBFS is interference (remove) — the battery's mixed
+    #   failures were exactly residual noise at -30..-24 dBFS riding
+    #   through with the speech.
+    k5a, k5b, k5c = jax.random.split(ks[5], 3)
+    snr = jax.random.uniform(k5a, (batch, 1), minval=-5.0, maxval=30.0)
+    n_rel = n * (s_rms / n_rms) * 10.0 ** (-snr / 20.0)
+    lvl_abs = 10.0 ** (jax.random.uniform(k5b, (batch, 1),
+                                          minval=-34.0, maxval=-18.0) / 20.0)
+    n_abs = n * (lvl_abs / n_rms)
+    n_mix = jnp.where(jax.random.uniform(k5c, (batch, 1)) < 0.5, n_abs, n_rel)
     mix = s + n_mix
     peak = jnp.max(jnp.abs(mix), axis=1, keepdims=True)
     scale = jnp.minimum(1.0, 0.98 / jnp.maximum(peak, eps))

@@ -1,0 +1,143 @@
+"""Engine throughput sweep + component split + MXU roofline (one TPU chip).
+
+Answers VERDICT r2 weak #8: where does the chunk time go, how far is the
+fused recurrence from the MXU bound, and which (batch, chunk_frames)
+maximizes audio-s/s/chip. Writes resources/reports/engine_roofline.json.
+
+Run on the real chip (no other TPU process!):
+    python scripts/bench_sweep.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# TPU v5e (lite) peak numbers for the roofline.
+PEAK_BF16_FLOPS = 197e12 / 2     # ~98.5 TFLOP/s dense bf16
+PEAK_HBM_BPS = 819e9             # ~819 GB/s
+
+
+def timed(fn, sync, iters=20):
+    fn()          # warm/compile
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    sync()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from koala_tpu.constants import FRAME_LENGTH, SAMPLE_RATE
+    from koala_tpu.engine.core import make_engine
+    from koala_tpu.models import mask_gru, params_io
+    from koala_tpu.ops.pallas.gru import flatten_layer_params, gru_stack_pallas
+
+    model_path = os.path.join(REPO, "models", "koala_params_tpu.pv")
+    if os.path.exists(model_path):
+        params, config = params_io.load_params(model_path)
+    else:
+        params, config = (mask_gru.init_params(jax.random.PRNGKey(0)),
+                          dict(mask_gru.DEFAULT_CONFIG))
+    engine = make_engine(config.get("kind", "mask_gru"), config)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    report = {"device": str(dev)}
+
+    # block_until_ready is unreliable over the dev tunnel; sync via scalar.
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x[..., -1])
+
+    # -- 1. component split at the bench shape ----------------------------
+    B, T = 512, 376
+    H = config.get("hidden", 384)
+    L = config.get("num_layers", 2)
+    key = jax.random.PRNGKey(0)
+    hops = 0.1 * jax.random.normal(key, (B, T, FRAME_LENGTH), jnp.float32)
+    hops = jax.device_put(hops, dev)
+    state0 = jax.device_put(engine.init_state((B,)), dev)
+
+    holder = {"state": state0}
+
+    def run_full():
+        holder["state"], out = engine.sequence_jit(params, holder["state"], hops)
+        holder["out"] = out
+
+    def sync():
+        float(checksum(holder.get("out", hops)))
+
+    t_full = timed(run_full, sync)
+    report["full_sequence_ms"] = round(t_full * 1e3, 3)
+
+    # kernel alone (same shapes the sequence path feeds it)
+    x = 0.1 * jax.random.normal(key, (T, B, H), jnp.float32)
+    h0 = jnp.zeros((L, B, H), jnp.float32)
+    x, h0 = jax.device_put((x, h0), dev)
+    flat = flatten_layer_params(params["gru"])
+
+    def run_kernel():
+        y, hf = gru_stack_pallas(h0, x, *flat)
+        holder["out"] = y
+
+    t_kernel = timed(run_kernel, sync)
+    report["kernel_ms"] = round(t_kernel * 1e3, 3)
+    report["non_kernel_ms"] = round((t_full - t_kernel) * 1e3, 3)
+
+    # roofline for the recurrence
+    flops_per_step = 2 * L * 2 * B * H * 3 * H      # xproj+hproj per layer
+    mxu_bound_s = T * flops_per_step / PEAK_BF16_FLOPS
+    hbm_bytes = T * (2 * B * H * 2)                 # x in + y out, bf16
+    hbm_bound_s = hbm_bytes / PEAK_HBM_BPS
+    report["kernel_roofline"] = {
+        "mxu_bound_ms": round(mxu_bound_s * 1e3, 3),
+        "hbm_bound_ms": round(hbm_bound_s * 1e3, 3),
+        "mxu_fraction": round(mxu_bound_s / t_kernel, 3),
+        "note": ("mxu_fraction = fraction of MXU peak the kernel achieves; "
+                 "the binding resource is whichever bound is larger."),
+    }
+
+    # -- 2. (batch, chunk) sweep ------------------------------------------
+    sweep = []
+    for b in (256, 512):
+        for t in (188, 376, 752):
+            st = jax.device_put(engine.init_state((b,)), dev)
+            hp = jax.device_put(
+                0.1 * jax.random.normal(key, (b, t, FRAME_LENGTH), jnp.float32),
+                dev)
+            hold = {"state": st}
+
+            def run(hp=hp, hold=hold):
+                hold["state"], out = engine.sequence_jit(params, hold["state"], hp)
+                holder["out"] = out
+
+            dt = timed(run, sync, iters=10)
+            rate = b * t * FRAME_LENGTH / SAMPLE_RATE / dt
+            sweep.append({"batch": b, "chunk_frames": t,
+                          "audio_s_per_s": round(rate, 1),
+                          "ms_per_chunk": round(dt * 1e3, 2)})
+            print(sweep[-1], flush=True)
+    report["sweep"] = sweep
+    best = max(sweep, key=lambda r: r["audio_s_per_s"])
+    report["best"] = best
+
+    out_path = os.path.join(REPO, "resources", "reports", "engine_roofline.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["kernel_roofline"]))
+    print("best:", best, "-> wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
