@@ -40,8 +40,14 @@ def synth_speech(rng: np.random.Generator) -> np.ndarray:
 def synth_noise(rng: np.random.Generator) -> np.ndarray:
     from koala_tpu.train.corpus import synth_noise_clip
 
+    # Same difficulty calibration as the dev battery (scripts/make_corpus.py):
+    # reference noise.wav profile — overall RMS 0.023, max frame RMS 0.06.
     x = synth_noise_clip(np.random.default_rng(NOISE_SEED),
-                         DURATION_S, "colored") * 0.05
+                         DURATION_S, "colored") * 0.023
+    fr = x[:len(x) // 256 * 256].reshape(-1, 256)
+    worst = float(np.sqrt((fr * fr).mean(axis=1)).max())
+    if worst > 0.06:
+        x = x * (0.06 / worst)
     return np.round(np.clip(x, -1, 1) * 32767).astype(np.int16)
 
 
