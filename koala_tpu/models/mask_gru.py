@@ -74,6 +74,12 @@ DEFAULT_CONFIG = {
     "floor_rise": 0.012,
     "snr_scale": 0.2,
     "snr_clip": 4.0,
+    # Feed the tracked floor LEVEL itself (banded, absolute) alongside the
+    # relative posterior SNR: at-floor content looks identical in SNR
+    # terms whether the stream floor is -45 dB mic hiss (pass it) or
+    # -29 dB noise filling speech gaps (suppress it) — the absolute floor
+    # level is what disambiguates. False in legacy files.
+    "floor_feat": True,
     # MXU compute dtype for the model matmuls (accumulation stays f32 via
     # preferred_element_type). bfloat16 runs the MXU at full rate; the mask
     # head stays well inside the harness tolerance. Gate math and state
@@ -160,7 +166,8 @@ def init_params(key, config: Dict[str, Any] = None) -> Dict[str, Any]:
             "bh": jnp.zeros((3 * dim,), jnp.float32),
         }
 
-    enc_in = bins + (cfg.get("snr_bands") or 0)
+    nb_feats = (cfg.get("snr_bands") or 0) * (2 if cfg.get("floor_feat") else 1)
+    enc_in = bins + nb_feats
     params = {
         "enc": dense(keys[0], enc_in, h),
         "gru": [gru(keys[2 + 2 * i], keys[3 + 2 * i], h) for i in range(layers)],
@@ -216,7 +223,11 @@ def _floor_update(floor, lb, cfg):
 
 
 def _snr_features(lb, floor, cfg):
-    return jnp.clip((lb - floor) * cfg["snr_scale"], 0.0, cfg["snr_clip"])
+    snr = jnp.clip((lb - floor) * cfg["snr_scale"], 0.0, cfg["snr_clip"])
+    if not cfg.get("floor_feat"):
+        return snr
+    lvl = (floor + 9.0) * 0.15        # banded absolute floor level
+    return jnp.concatenate([snr, lvl], axis=-1)
 
 
 def _mask_head(params, x, cfg):

@@ -66,6 +66,13 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
 
     d = frms(est) - frms(ref)
     d = jnp.where(d < 0, -under_weight * d, d)            # [B, F]
+    # Stream-start emphasis: every training segment begins at fresh state,
+    # exactly like a new stream — and the harness checks the first frames
+    # too (noise leaked through the first ~100 ms before context built up).
+    n_early = min(12, d.shape[1])
+    early = jnp.concatenate([jnp.full((n_early,), 2.0),
+                             jnp.ones((d.shape[1] - n_early,))])
+    d = d * early[None, :]
     k = max(1, d.shape[1] // 16)
     worst = jax.lax.top_k(d, k)[0]                        # [B, k]
     # Hinge at half the 0.02 acceptance tolerance: frames already inside

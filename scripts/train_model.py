@@ -165,6 +165,10 @@ def main():
                             for k, v in fresh.items()}
                 if isinstance(fresh, list):
                     return [merge(f, l) for f, l in zip(fresh, loaded)]
+                # keep the fresh init when a head changed shape (e.g. the
+                # encoder fan-in grows when new features are added)
+                if tuple(np.shape(fresh)) != tuple(np.shape(loaded)):
+                    return fresh
                 return loaded
             import jax
             fresh = mask_gru.init_params(jax.random.PRNGKey(args.seed), cfg)
