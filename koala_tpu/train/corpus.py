@@ -616,6 +616,24 @@ def build_speech_tape(seed: int, n_utterances: int,
     return np.concatenate(parts)
 
 
+def build_floor_tape(seed: int, n_clips: int,
+                     dur_range: Tuple[float, float] = (3.0, 6.0),
+                     log_every: int = 0) -> np.ndarray:
+    """Passthrough-floor material: SMOOTH structured noise only (colored /
+    band kinds, unit RMS). Real recording floors and quiet speech noises
+    (fricative hiss, breath) are in this family; clicks and babble are NOT
+    — blessing those as floor teaches the model to pass interference
+    through speech gaps (see train/device_sampler.py s_floored)."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    for i in range(n_clips):
+        kind = "colored" if rng.random() < 0.6 else "band"
+        parts.append(synth_noise_clip(rng, float(rng.uniform(*dur_range)), kind))
+        if log_every and (i + 1) % log_every == 0:
+            print("  floor %d/%d" % (i + 1, n_clips), flush=True)
+    return np.concatenate(parts)
+
+
 def build_noise_tape(seed: int, n_clips: int,
                      dur_range: Tuple[float, float] = (3.0, 6.0),
                      babble_frac: float = 0.15,
@@ -638,5 +656,5 @@ def build_noise_tape(seed: int, n_clips: int,
 __all__ = [
     "sample_speaker", "synth_utterance", "synth_utterance_am",
     "synth_noise_clip", "synth_babble",
-    "build_speech_tape", "build_noise_tape",
+    "build_speech_tape", "build_noise_tape", "build_floor_tape",
 ]

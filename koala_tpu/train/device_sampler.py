@@ -26,7 +26,8 @@ P_BABBLE = 0.25        # babble is the hardest pure-noise case (speech-like)
 
 
 def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
-                      segment: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      segment: int,
+                      floor_tape=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(tapes, key) -> (noisy [B,S], clean [B,S]); traceable under jit.
 
     The tapes MUST arrive as jit ARGUMENTS, not closure constants: a
@@ -123,6 +124,17 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     shape = jnp.where(use_band, shape * (0.1 + band), shape)
     hiss = jnp.fft.irfft(spec * shape, n=seg, axis=-1)
     hiss = hiss / jnp.sqrt(jnp.mean(hiss * hiss, axis=1, keepdims=True) + eps)
+    if floor_tape is not None:
+        # Half the floors come from the smooth structured floor tape
+        # (colored/band family — fricative-hiss-like textures; see
+        # corpus.build_floor_tape): structured-but-smooth quiet content
+        # under speech is what real recordings' quiet frames look like.
+        kf1, kf2 = jax.random.split(ka)
+        fcrop = crops(floor_tape, kf1, (batch,))
+        fcrop = fcrop / jnp.sqrt(
+            jnp.mean(fcrop * fcrop, axis=1, keepdims=True) + eps)
+        hiss = jnp.where(jax.random.uniform(kf2, (batch, 1)) < 0.5,
+                         fcrop, hiss)
     floor_lvl = 10.0 ** (jax.random.uniform(kc, (batch, 1),
                                             minval=-50.0, maxval=-36.0) / 20.0)
     s_floored = s + hiss * floor_lvl

@@ -257,7 +257,8 @@ def train_on_device(
         seed: int = 0,
         config: Optional[Dict[str, Any]] = None,
         log_every: int = 200,
-        params=None) -> Tuple[Any, Dict[str, Any]]:
+        params=None,
+        floor_tape: Optional[np.ndarray] = None) -> Tuple[Any, Dict[str, Any]]:
     """Single-chip training with the data pipeline fused into the jitted
     step (DeviceSampler): zero per-step host->device transfer. The only
     host traffic is the one-time tape upload and periodic loss fetches."""
@@ -282,10 +283,13 @@ def train_on_device(
     segment = segment_frames * FRAME_LENGTH
     speech_dev = jax.device_put(jnp.asarray(speech_tape, jnp.float32), device)
     noise_dev = jax.device_put(jnp.asarray(noise_tape, jnp.float32), device)
+    floor_dev = (jax.device_put(jnp.asarray(floor_tape, jnp.float32), device)
+                 if floor_tape is not None else None)
     loss_fn = make_loss_fn(cfg)
 
-    def step_fn(params, opt_state, key, speech, noise):
-        noisy, clean = sample_from_tapes(speech, noise, key, batch, segment)
+    def step_fn(params, opt_state, key, speech, noise, floor):
+        noisy, clean = sample_from_tapes(speech, noise, key, batch, segment,
+                                         floor_tape=floor)
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -299,7 +303,7 @@ def train_on_device(
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, loss = step_jit(params, opt_state, keys[i],
-                                           speech_dev, noise_dev)
+                                           speech_dev, noise_dev, floor_dev)
         if log_every and (i % log_every == 0 or i == steps - 1):
             # scalar fetch doubles as the pipeline sync point
             print("step %5d  loss %.4f  (%.1fs)"

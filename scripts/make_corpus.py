@@ -21,6 +21,7 @@ import numpy as np
 
 TRAIN_SPEECH_SEED = 100
 TRAIN_NOISE_SEED = 200
+TRAIN_FLOOR_SEED = 300
 DEV_SPEECH_SEED = 9100
 DEV_NOISE_SEED = 9200
 
@@ -30,11 +31,13 @@ SAMPLES_DIR = os.path.join(REPO, "resources", "audio_samples")
 
 
 def build_training_tapes(n_speech: int, n_noise: int, force: bool = False):
-    from koala_tpu.train.corpus import build_noise_tape, build_speech_tape
+    from koala_tpu.train.corpus import (build_floor_tape, build_noise_tape,
+                                        build_speech_tape)
 
     os.makedirs(CORPUS_DIR, exist_ok=True)
     sp_path = os.path.join(CORPUS_DIR, "speech_tape.npy")
     no_path = os.path.join(CORPUS_DIR, "noise_tape.npy")
+    fl_path = os.path.join(CORPUS_DIR, "floor_tape.npy")
     if force or not os.path.exists(sp_path):
         print("building speech tape (%d utterances)..." % n_speech, flush=True)
         tape = build_speech_tape(TRAIN_SPEECH_SEED, n_speech, log_every=100)
@@ -45,7 +48,12 @@ def build_training_tapes(n_speech: int, n_noise: int, force: bool = False):
         tape = build_noise_tape(TRAIN_NOISE_SEED, n_noise, log_every=100)
         np.save(no_path, tape)
         print("  %s: %.1f s of noise" % (no_path, len(tape) / 16000.0))
-    return sp_path, no_path
+    if force or not os.path.exists(fl_path):
+        print("building floor tape...", flush=True)
+        tape = build_floor_tape(TRAIN_FLOOR_SEED, max(50, n_noise // 4))
+        np.save(fl_path, tape)
+        print("  %s: %.1f s of floor noise" % (fl_path, len(tape) / 16000.0))
+    return sp_path, no_path, fl_path
 
 
 # Held-out battery (VERDICT r2 #6: one lucky dev pair can masquerade as

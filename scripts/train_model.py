@@ -50,8 +50,8 @@ def build_wav_tapes(speech_paths, noise_paths):
 def build_corpus_tapes(speech_utts, noise_clips):
     from make_corpus import build_training_tapes
 
-    sp_path, no_path = build_training_tapes(speech_utts, noise_clips)
-    return np.load(sp_path), np.load(no_path)
+    sp_path, no_path, fl_path = build_training_tapes(speech_utts, noise_clips)
+    return np.load(sp_path), np.load(no_path), np.load(fl_path)
 
 
 def eval_all(params, cfg):
@@ -173,11 +173,12 @@ def main():
             import jax
             fresh = mask_gru.init_params(jax.random.PRNGKey(args.seed), cfg)
             params = merge(fresh, params)
+        floor_tape = None
         if args.speech or args.noise:
             speech_tape, noise_tape = build_wav_tapes(
                 args.speech or [], args.noise or [])
         else:
-            speech_tape, noise_tape = build_corpus_tapes(
+            speech_tape, noise_tape, floor_tape = build_corpus_tapes(
                 args.speech_utts, args.noise_clips)
         print("tapes: speech %.1f s, noise %.1f s"
               % (len(speech_tape) / 16000.0, len(noise_tape) / 16000.0),
@@ -185,7 +186,8 @@ def main():
         params, cfg = train_on_device(
             speech_tape, noise_tape,
             steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
-            segment_frames=args.segment_frames, config=cfg, params=params)
+            segment_frames=args.segment_frames, config=cfg, params=params,
+            floor_tape=floor_tape)
         params = __import__("jax").device_get(params)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         params_io.save_params(out_path, params, cfg)
