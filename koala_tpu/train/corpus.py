@@ -539,7 +539,7 @@ def synth_noise_clip(rng: np.random.Generator, duration_s: float,
                      kind: Optional[str] = None) -> np.ndarray:
     """One noise clip, float32, unit RMS (caller sets the level)."""
     n = int(duration_s * SAMPLE_RATE)
-    kinds = ("colored", "band", "am", "tonal", "impulsive")
+    kinds = ("colored", "band", "am", "tonal", "impulsive", "rumble")
     kind = kind or kinds[int(rng.integers(len(kinds)))]
     t = np.arange(n) / SAMPLE_RATE
     w = rng.standard_normal(n)
@@ -547,8 +547,16 @@ def synth_noise_clip(rng: np.random.Generator, duration_s: float,
     fgrid = np.maximum(np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE), 1.0)
 
     if kind == "colored":
-        slope = rng.uniform(0.0, 2.5)
+        slope = rng.uniform(0.0, 3.0)
         x = np.fft.irfft(spec / fgrid ** (slope / 2.0), n)
+    elif kind == "rumble":
+        # low-frequency rumble (HVAC/traffic/wind): energy concentrated
+        # below a few hundred Hz — aperiodic, unlike voiced murmur/fry
+        # whose f0 harmonics it otherwise resembles in band energy. The
+        # synth acceptance fixture (seed 7100) showed quiet LF noise
+        # passing through as 'voiced tail'.
+        fc = rng.uniform(80.0, 400.0)
+        x = np.fft.irfft(spec * np.exp(-fgrid / fc), n)
     elif kind == "band":
         lo = float(np.exp(rng.uniform(np.log(80.0), np.log(3000.0))))
         hi = lo * float(np.exp(rng.uniform(0.5, 2.5)))

@@ -72,6 +72,7 @@ DEV_BATTERY = [
     ("4", 9700, 9800, "tonal",     0.0),
     ("5", 9900, 10000, "babble",   0.0),
     ("6", 10100, 10200, "impulsive", 0.0),
+    ("7", 10300, 10400, "rumble", 0.0),
 ]
 
 

@@ -23,7 +23,8 @@ SAMPLES = os.path.join(os.path.dirname(os.path.dirname(
 
 # (tag, noise kind) mirror of scripts/make_corpus.py:DEV_BATTERY.
 BATTERY = [("", "am"), ("2", "colored"), ("3", "band"),
-           ("4", "tonal"), ("5", "babble"), ("6", "impulsive")]
+           ("4", "tonal"), ("5", "babble"), ("6", "impulsive"),
+           ("7", "rumble")]
 
 
 @pytest.fixture(scope="module")
