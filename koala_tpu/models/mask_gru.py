@@ -69,8 +69,13 @@ DEFAULT_CONFIG = {
     # is far below them (clean recording). Posterior SNR is self-normalizing
     # (level/channel-invariant), so it transfers from synthetic training
     # speech to real recordings where absolute spectral templates do not.
-    # snr_bands=0 disables the tracker (legacy model files).
-    "snr_bands": 32,
+    # snr_bands=0 disables the tracker. The tracker is OPT-IN: defaults
+    # stay at the legacy-off values so model files saved before these keys
+    # existed keep loading unchanged when call sites merge DEFAULT_CONFIG
+    # over a saved config (the reference's versioned koala_params.pv never
+    # breaks on engine upgrade — SURVEY §2 #2; round-3 regression).
+    # Training enables it via TRAIN_CONFIG below.
+    "snr_bands": 0,
     "floor_rise": 0.012,
     "snr_scale": 0.2,
     "snr_clip": 4.0,
@@ -78,8 +83,8 @@ DEFAULT_CONFIG = {
     # relative posterior SNR: at-floor content looks identical in SNR
     # terms whether the stream floor is -45 dB mic hiss (pass it) or
     # -29 dB noise filling speech gaps (suppress it) — the absolute floor
-    # level is what disambiguates. False in legacy files.
-    "floor_feat": True,
+    # level is what disambiguates. Off by default (legacy model files).
+    "floor_feat": False,
     # MXU compute dtype for the model matmuls (accumulation stays f32 via
     # preferred_element_type). bfloat16 runs the MXU at full rate; the mask
     # head stays well inside the harness tolerance. Gate math and state
@@ -92,8 +97,40 @@ DEFAULT_CONFIG = {
     "use_pallas": "auto",
 }
 
+# The config new models are trained with: posterior-SNR + absolute-floor
+# tracker features enabled. save_params persists the FULL resolved config,
+# so a file trained with this config carries its feature switches
+# explicitly and never depends on future DEFAULT_CONFIG values.
+TRAIN_CONFIG = dict(DEFAULT_CONFIG, snr_bands=32, floor_feat=True)
 
-_FALLBACK_WARNED = set()
+
+def expected_enc_in(cfg: Dict[str, Any]) -> int:
+    """Encoder fan-in implied by a config's feature switches."""
+    nb = cfg.get("snr_bands") or 0
+    return cfg["bins"] + nb * (2 if cfg.get("floor_feat") else 1)
+
+
+def normalize_config(config: Dict[str, Any], params=None) -> Dict[str, Any]:
+    """Resolve a (possibly legacy, partial) saved config against defaults,
+    and — when ``params`` is given — verify the feature switches against
+    the actual encoder weight shape, inferring them from the weights if the
+    saved config predates a switch. This is the model-file compatibility
+    layer: a .pv written by ANY prior version must load and run
+    (reference bar: versioned lib/common/koala_params.pv, SURVEY §2 #2)."""
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    if params is None:
+        return cfg
+    enc_in = int(np.shape(params["enc"]["w"])[0])
+    if enc_in == expected_enc_in(cfg):
+        return cfg
+    bins = cfg["bins"]
+    for snr_bands, floor_feat in ((0, False), (32, False), (32, True)):
+        trial = dict(cfg, snr_bands=snr_bands, floor_feat=floor_feat)
+        if enc_in == expected_enc_in(trial):
+            return trial
+    raise ValueError(
+        "model file encoder fan-in %d matches no known feature layout "
+        "(bins=%d, config %r)" % (enc_in, bins, config))
 
 
 def _warn_fallback(reason: str, cfg) -> bool:
@@ -355,6 +392,9 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
 
 __all__ = [
     "DEFAULT_CONFIG",
+    "TRAIN_CONFIG",
+    "normalize_config",
+    "expected_enc_in",
     "init_params",
     "init_state",
     "step",

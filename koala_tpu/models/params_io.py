@@ -56,6 +56,13 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 
 def save_params(path: str, params, config: Dict[str, Any]) -> None:
+    # Persist the FULL resolved config: a model file must carry every
+    # feature switch explicitly so later DEFAULT_CONFIG changes can never
+    # reinterpret it (round-3 regression: back-filled defaults broke every
+    # committed .pv; reference bar: versioned koala_params.pv, SURVEY §2 #2).
+    if (config or {}).get("kind", "mask_gru") == "mask_gru":
+        from . import mask_gru
+        config = mask_gru.normalize_config(config, params)
     flat = _flatten(params)
     meta = json.dumps({
         "magic": MODEL_MAGIC.decode("ascii", "replace").rstrip("\x00"),
@@ -95,7 +102,18 @@ def load_params(path: str) -> Tuple[Any, Dict[str, Any]]:
         ERROR_STACK.push("failed to parse model file `%s`: %s" % (path, e))
         ERROR_STACK.push("model load failed")
         raise_with_stack(KoalaIOError, "Invalid model file")
-    return _unflatten(flat), meta["config"]
+    params, config = _unflatten(flat), meta["config"]
+    if (config or {}).get("kind", "mask_gru") == "mask_gru":
+        # Compatibility guard: resolve the config fully and reconcile its
+        # feature switches with the actual encoder weight shape (legacy
+        # files predate some switches; the weights are the ground truth).
+        from . import mask_gru
+        try:
+            config = mask_gru.normalize_config(config, params)
+        except (ValueError, KeyError, TypeError) as e:
+            ERROR_STACK.push("incompatible model file `%s`: %s" % (path, e))
+            raise_with_stack(KoalaIOError, "Invalid model file")
+    return params, config
 
 
 def default_model_path() -> str:

@@ -84,6 +84,11 @@ class StreamingServer:
             collections.deque() for _ in range(num_streams)]
         self._out_lock = threading.Lock()
         self._reset_pending = np.zeros((num_streams,), bool)
+        # Per-stream reset generation: routing drops in-flight output from
+        # before a reset (the deferred one-iteration routing would otherwise
+        # deliver up to chunk_frames of stale pre-reset audio to a queue the
+        # slot's NEXT client may already own).
+        self._reset_gen = np.zeros((num_streams,), np.int64)
         self._reset_lock = threading.Lock()
         self._poll = poll_interval_s
         self._frames_processed = 0
@@ -141,6 +146,11 @@ class StreamingServer:
         self._pool.reset_stream(stream)
         with self._reset_lock:
             self._reset_pending[stream] = True
+            self._reset_gen[stream] += 1
+        # Ordering matters: the generation bump above happens BEFORE the
+        # queue clear, so routing (which snapshots generations under
+        # _out_lock) either sees the bump and skips, or appends before this
+        # clear runs — never stale-after-clear.
         with self._out_lock:
             self._out_queues[stream].clear()
 
@@ -163,14 +173,22 @@ class StreamingServer:
         step N's output happens after step N+1 has been dispatched, so the
         host-side fetch/route overlaps the in-flight device step.
         """
-        inflight = None   # (device out array, counts [B] or None for 1-frame)
+        inflight = None   # (device out array, counts [B], gen snapshot [B])
 
-        def route(out_dev, counts):
+        def route(out_dev, counts, gen):
             # blocks until the device step has finished
             out_np = _float_to_pcm_np(np.asarray(out_dev))
             n = 0
             with self._out_lock:
+                # Snapshot generations INSIDE _out_lock: a concurrent
+                # reset() bumps the generation before clearing the queue,
+                # so either we see the bump here (skip), or our append
+                # completes before its clear (stale frames removed).
+                with self._reset_lock:
+                    cur_gen = self._reset_gen.copy()
                 for i in np.nonzero(counts)[0]:
+                    if cur_gen[i] != gen[i]:
+                        continue             # stream reset since dispatch
                     c = int(counts[i])
                     q = self._out_queues[i]
                     if out_np.ndim == 3:     # chunked [B, k, 256]
@@ -186,6 +204,7 @@ class StreamingServer:
             with self._reset_lock:
                 pending = self._reset_pending.copy()
                 self._reset_pending[:] = False
+                gen_snapshot = self._reset_gen.copy()
             if pending.any():
                 self._state = self._reset_jit(self._state, pending)
 
@@ -208,15 +227,17 @@ class StreamingServer:
                 hop = batch[:, 0, :].astype(np.float32) / 32768.0
                 self._state, out = self._engine.step_masked_jit(
                     self._params, self._state, hop, active)
-                this = (out, counts)
             else:
                 hops = batch.astype(np.float32) / 32768.0
                 self._state, out = self._engine.chunk_masked_jit(
                     self._params, self._state, hops, counts)
-                this = (out, counts)
+            this = (out, counts, gen_snapshot)
             if inflight is not None:
                 route(*inflight)
             inflight = this
+        # Drain: close() must not silently drop the final in-flight output.
+        if inflight is not None:
+            route(*inflight)
 
     # -- lifecycle ---------------------------------------------------------
 

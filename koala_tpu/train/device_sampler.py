@@ -109,7 +109,11 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # Floor spectra are DIVERSE (random slope, optional band emphasis — a
     # real floor can be hissy, rumbly, or band-colored) but always
     # temporally stationary; one rfft/irfft pair on device per batch.
-    ka, kb, kc, kd, ke = jax.random.split(ks[9], 5)
+    # One distinct subkey per independent draw (correlated draws narrow the
+    # floor-spectrum diversity: center/sigma from one key were perfectly
+    # correlated across the batch, and reusing the white-noise key for the
+    # tape-crop keys tied crop positions to the hiss realization).
+    ka, kb, kc, kd, kd2, ke, kf = jax.random.split(ks[9], 7)
     white = jax.random.normal(ka, s.shape)
     spec = jnp.fft.rfft(white, axis=-1)
     fg = jnp.maximum(jnp.fft.rfftfreq(seg, 1.0 / 16000.0), 1.0)[None, :]
@@ -118,7 +122,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     center = jnp.exp(jax.random.uniform(kd, (batch, 1),
                                         minval=jnp.log(300.0),
                                         maxval=jnp.log(5000.0)))
-    sigma = jax.random.uniform(kd, (batch, 1), minval=0.4, maxval=1.2)
+    sigma = jax.random.uniform(kd2, (batch, 1), minval=0.4, maxval=1.2)
     band = jnp.exp(-0.5 * ((jnp.log(fg) - jnp.log(center)) / sigma) ** 2)
     use_band = jax.random.uniform(ke, (batch, 1)) < 0.4
     shape = jnp.where(use_band, shape * (0.1 + band), shape)
@@ -129,7 +133,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
         # (colored/band family — fricative-hiss-like textures; see
         # corpus.build_floor_tape): structured-but-smooth quiet content
         # under speech is what real recordings' quiet frames look like.
-        kf1, kf2 = jax.random.split(ka)
+        kf1, kf2 = jax.random.split(kf)
         fcrop = crops(floor_tape, kf1, (batch,))
         fcrop = fcrop / jnp.sqrt(
             jnp.mean(fcrop * fcrop, axis=1, keepdims=True) + eps)

@@ -64,6 +64,7 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
         fr = x.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
         return jnp.sqrt(jnp.mean(fr * fr, axis=-1) + 1e-10)
 
+    d_raw = jnp.abs(frms(est) - frms(ref))                # [B, F] harness domain
     d = frms(est) - frms(ref)
     d = jnp.where(d < 0, -under_weight * d, d)            # [B, F]
     # Stream-start emphasis: every training segment begins at fresh state,
@@ -75,10 +76,12 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
     d = d * early[None, :]
     k = max(1, d.shape[1] // 16)
     worst = jax.lax.top_k(d, k)[0]                        # [B, k]
-    # Hinge at half the 0.02 acceptance tolerance: frames already inside
-    # the harness margin stop contributing, concentrating gradient on the
-    # near-failing tail (the harness scores the worst frame, not the mean).
-    hinge = jnp.maximum(d - 0.01, 0.0)
+    # Hinge at half the 0.02 acceptance tolerance, computed on the RAW
+    # (unscaled) deviation — the harness's own domain — so frames already
+    # inside the margin stop contributing and gradient concentrates on the
+    # near-failing tail. (Applying it after the under_weight/early
+    # multipliers silently lowered the effective threshold to ~0.003.)
+    hinge = jnp.maximum(d_raw - 0.01, 0.0)
     return (jnp.mean(d) + topk_weight * jnp.mean(worst)
             + 25.0 * jnp.mean(hinge))
 

@@ -150,14 +150,23 @@ def main():
 
     out_path = args.out or default_model_path()
 
+    from koala_tpu.models import mask_gru
+
     if not args.eval_only:
         params = None
-        cfg = None
+        # Fresh training always uses the full current recipe (tracker
+        # features on); DEFAULT_CONFIG stays legacy-safe for old files.
+        cfg = dict(mask_gru.TRAIN_CONFIG)
         if args.init_from:
-            params, cfg = params_io.load_params(args.init_from)
-            # Merge into a fresh init so heads added since the checkpoint
-            # (e.g. the passthrough gate) get their default values.
-            from koala_tpu.models import mask_gru
+            params, loaded_cfg = params_io.load_params(args.init_from)
+            # Upgrade the checkpoint's config to the current training
+            # recipe, then merge into a fresh init so heads added or
+            # reshaped since the checkpoint (e.g. the passthrough gate, a
+            # wider encoder fan-in) get their default values.
+            cfg = dict(loaded_cfg)
+            for key in ("snr_bands", "floor_feat", "floor_rise",
+                        "snr_scale", "snr_clip"):
+                cfg[key] = mask_gru.TRAIN_CONFIG[key]
 
             def merge(fresh, loaded):
                 if isinstance(fresh, dict):
