@@ -99,6 +99,56 @@ def serving_bench(model_path: str) -> dict:
         server.close()
 
 
+def single_stream_latency(engine, params) -> dict:
+    """The reference's core real-time contract: one stream's per-frame
+    `process` must finish well under the 16 ms frame budget (SURVEY §3.5;
+    RTF gates in reference .github/workflows/python-perf.yml:44-56).
+
+    Two numbers:
+    - step_p50/p99_ms: host-observed B=1 step_jit round-trip. On this rig
+      the device sits behind a network tunnel, so this is dominated by
+      tunnel RTT — it upper-bounds what a co-located host would see.
+    - step_device_amortized_ms: per-frame time of a 64-frame sequence call
+      (dispatch cost amortized away), the device-side compute floor.
+    """
+    import jax
+
+    from koala_tpu.constants import FRAME_LENGTH
+
+    device = jax.devices()[0]
+    state = jax.device_put(engine.init_state(()), device)
+    rng = np.random.default_rng(3)
+    hop = (rng.standard_normal((FRAME_LENGTH,)) * 0.05).astype(np.float32)
+
+    state, out = engine.step_jit(params, state, hop)   # compile
+    np.asarray(out)
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        state, out = engine.step_jit(params, state, hop)
+        np.asarray(out)                                # full round-trip
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat = np.asarray(lat)
+
+    k = 64
+    hops = (rng.standard_normal((k, FRAME_LENGTH)) * 0.05).astype(np.float32)
+    state2 = jax.device_put(engine.init_state(()), device)
+    state2, out = engine.sequence_jit(params, state2, hops)   # compile
+    np.asarray(out)
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        state2, out = engine.sequence_jit(params, state2, hops)
+    np.asarray(out)
+    per_frame_ms = (time.perf_counter() - t0) / (iters * k) * 1000.0
+    return {
+        "step_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "step_p99_ms": round(float(np.percentile(lat, 99)), 3),
+        "step_device_amortized_ms": round(per_frame_ms, 4),
+        "step_budget_ms": 16.0,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -174,6 +224,11 @@ def main() -> None:
             record.update(serving_bench(model_path))
         except Exception as e:  # serving bench must never sink the engine number
             record["serving_error"] = repr(e)[:200]
+    if os.environ.get("KOALA_BENCH_LATENCY", "1") != "0":
+        try:
+            record.update(single_stream_latency(engine, params))
+        except Exception as e:
+            record["latency_error"] = repr(e)[:200]
     print(json.dumps(record))
 
 
