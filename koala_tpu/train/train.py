@@ -126,18 +126,30 @@ def make_loss_fn(config: Dict[str, Any], pvary_axis: Optional[str] = None):
         # target speech lives (independent of how much noise is removed).
         # This is the anti-oversuppression / intelligibility (STOI) lever:
         # aggressive masks buy SNR at the cost of speech fidelity.
+        # Two refinements over plain mean((1-mask)*mag_c):
+        # - sqrt-compressed magnitude: the live failures are QUIET speech
+        #   (nasal murmur / fricative frames at -34..-24 dBFS) whose linear
+        #   magnitude contributes ~nothing to the penalty;
+        # - speech-dominance gate mag_c/mag_noisy: compression alone would
+        #   inflate near-zero clean magnitudes and punish legitimate noise
+        #   suppression — the gate zeroes the penalty wherever the clean
+        #   target is a small fraction of the noisy input.
         from ..ops import stft as stft_ops
-        c_hops = clean.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
-        c_prev = jnp.concatenate(
-            [jnp.zeros_like(c_hops[:, :1]), c_hops[:, :-1]], axis=1)
-        re_c, im_c = stft_ops.stft_frame(
-            jnp.concatenate([c_prev, c_hops], axis=-1))
-        mag_c = jnp.sqrt(re_c * re_c + im_c * im_c + 1e-10)
-        distortion = jnp.mean((1.0 - mask) * mag_c)
+
+        def mags(x_wave):
+            h = x_wave.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
+            p = jnp.concatenate([jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1)
+            re_, im_ = stft_ops.stft_frame(jnp.concatenate([p, h], axis=-1))
+            return jnp.sqrt(re_ * re_ + im_ * im_ + 1e-10)
+
+        mag_c = mags(clean)
+        mag_y = mags(noisy)
+        dominance = jnp.clip(mag_c / (mag_y + 1e-8), 0.0, 1.0)
+        distortion = jnp.mean((1.0 - mask) * jnp.sqrt(mag_c) * dominance)
 
         loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
                 + 90.0 * frame_rms_l1(est, ref)
-                + 25.0 * distortion)
+                + 8.0 * distortion)
         return loss
 
     return loss_fn

@@ -35,8 +35,11 @@ def untrained_model(tmp_path_factory):
     from koala_tpu.models import mask_gru, params_io
 
     path = tmp_path_factory.mktemp("models") / "untrained_mask_gru.pv"
-    params = mask_gru.init_params(jax.random.PRNGKey(0))
-    params_io.save_params(str(path), params, mask_gru.DEFAULT_CONFIG)
+    # TRAIN_CONFIG (tracker features ON) so the full production state
+    # pytree {h, floor} — not just the legacy [L,H] hidden — exercises the
+    # engine/serving machinery even before a trained model is bundled.
+    params = mask_gru.init_params(jax.random.PRNGKey(0), mask_gru.TRAIN_CONFIG)
+    params_io.save_params(str(path), params, mask_gru.TRAIN_CONFIG)
     return str(path)
 
 

@@ -106,6 +106,38 @@ def test_heldout_stoi_no_regression(heldout_battery, kind):
     assert r["stoi_mixed"] > r["stoi_input"] - 0.01, (kind, r)
 
 
+@pytest.fixture(scope="module")
+def pseudo_real(trained_model, speech_pcm, noise_pcm):
+    """Pseudo-real variants of the only real recording available: gain-
+    shifted and resampled versions of the reference pair (VERDICT r3
+    missing #4). Passing real speech must be invariant to recording level
+    and to moderate pitch/formant shifts."""
+    params, cfg = params_io.load_params(trained_model)
+    speech = np.asarray(speech_pcm)
+    noise = np.asarray(noise_pcm)
+
+    def resample(x, factor):
+        n = int(len(x) / factor)
+        idx = np.arange(n) * factor
+        return np.interp(idx, np.arange(len(x)),
+                         x.astype(np.float64)).astype(np.int16)
+
+    cases = {
+        "-6dB": ((speech // 2).astype(np.int16), (noise // 2).astype(np.int16)),
+        "rs0.9": (resample(speech, 0.9), resample(noise, 0.9)),
+        "rs1.1": (resample(speech, 1.1), resample(noise, 1.1)),
+    }
+    return {k: evaluate(params, cfg, s, n) for k, (s, n) in cases.items()}
+
+
+@pytest.mark.parametrize("case", ["-6dB", "rs0.9", "rs1.1"])
+def test_pseudo_real_energy_parity(pseudo_real, case):
+    r = pseudo_real[case]
+    assert r["dev_pure_speech"] < 0.02, (case, r)
+    assert r["dev_pure_noise"] < 0.02, (case, r)
+    assert r["dev_mixed"] < 0.02, (case, r)
+
+
 def test_streaming_api_matches_harness(trained_model, speech_pcm, access_key):
     """The public frame-by-frame API reproduces the pure-speech case."""
     import koala_tpu

@@ -70,8 +70,19 @@ def _stream_through_socket(port, pcm: np.ndarray) -> np.ndarray:
     return np.frombuffer(b"".join(chunks), dtype="<i2")
 
 
+def _speech_like(n, rng):
+    """Loud AM harmonic tone: content every model under test (incl. the
+    bundled trained suppressor, which rightly silences pure noise) passes
+    through with nonzero energy."""
+    t = np.arange(n) / 16000.0
+    x = sum(0.3 / k * np.sin(2 * np.pi * 150.0 * k * t + rng.uniform(0, 6))
+            for k in range(1, 9))
+    x *= 0.55 + 0.45 * np.sin(2 * np.pi * 3.0 * t) ** 2
+    return np.clip(x * 12000, -32768, 32767).astype(np.int16)
+
+
 def test_python_client_roundtrip(server_proc, rng):
-    pcm = (rng.standard_normal(5000) * 6000).astype(np.int16)
+    pcm = _speech_like(5000, rng)
     out = _stream_through_socket(server_proc, pcm)
     assert out.shape == pcm.shape  # aligned 1:1, delay compensated
     assert np.any(out != 0)
