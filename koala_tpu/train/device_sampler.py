@@ -53,7 +53,12 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # near zero), matching the variable talker-count/gain structure of
     # synth_babble — equal-weight 4-talker mixes alone taught the model a
     # too-narrow notion of babble (dev5 showed near-full passthrough).
-    bg = jax.random.uniform(ks[8], (batch, 8, 1)) ** 2
+    # 40% of draws raise the gain exponent to 6: babble dominated by 1-2
+    # talkers — the hardest, most speech-like case (a background
+    # conversation), which dense 8-talker mixes never produce.
+    k8a, k8b = jax.random.split(ks[8])
+    sparse = jax.random.uniform(k8b, (batch, 1, 1)) < 0.4
+    bg = jax.random.uniform(k8a, (batch, 8, 1)) ** jnp.where(sparse, 6.0, 2.0)
     talkers = crops(speech_tape, ks[3], (batch, 8))
     babble = (jnp.sum(talkers * bg, axis=1)
               / jnp.sqrt(jnp.sum(bg * bg, axis=1) + 1e-6))

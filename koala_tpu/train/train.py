@@ -43,7 +43,7 @@ def snr_loss(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarr
 
 
 def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
-                 under_weight: float = 3.0,
+                 under_weight: float = 4.0,
                  topk_weight: float = 4.0) -> jnp.ndarray:
     """Per-frame RMS deviation over 256-sample frames — the exact quantity
     the acceptance harness bounds (reference binding/python/test_koala.py:75:
@@ -145,11 +145,21 @@ def make_loss_fn(config: Dict[str, Any], pvary_axis: Optional[str] = None):
         mag_c = mags(clean)
         mag_y = mags(noisy)
         dominance = jnp.clip(mag_c / (mag_y + 1e-8), 0.0, 1.0)
-        distortion = jnp.mean((1.0 - mask) * jnp.sqrt(mag_c) * dominance)
+        # Band-importance weighting: measured per-band STOI deltas on the
+        # reference mix concentrate ALL of the intelligibility loss in
+        # 1.5-4.3 kHz (consonant clarity; band 12 @ 2.4 kHz alone -0.155)
+        # while bands below 1.2 kHz improve — so the preservation penalty
+        # leans 3x on exactly those bands. Bins are 31.25 Hz (8 kHz / 256).
+        k = mask.shape[-1]
+        freq = jnp.arange(k) * (8000.0 / (k - 1))
+        band_w = 1.0 + 2.0 * jnp.clip((freq - 1200.0) / 800.0, 0.0, 1.0) \
+            * jnp.clip((4800.0 - freq) / 500.0, 0.0, 1.0)
+        distortion = jnp.mean((1.0 - mask) * jnp.sqrt(mag_c) * dominance
+                              * band_w)
 
         loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
                 + 90.0 * frame_rms_l1(est, ref)
-                + 8.0 * distortion)
+                + 16.0 * distortion)
         return loss
 
     return loss_fn

@@ -79,6 +79,50 @@ def test_server_interleaved_streams(access_key, serve_model, rng):
         np.testing.assert_allclose(out, direct, atol=1)
 
 
+def test_close_drains_inflight_output(access_key, serve_model, rng):
+    """close() must route the final in-flight device step instead of
+    dropping it (ADVICE r3: deferred routing silently lost the last
+    dispatch's output on close)."""
+    t = 40     # enough to trigger the chunked backlog path
+    pcm = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+    server = StreamingServer(access_key, num_streams=2, model_path=serve_model,
+                             device="cpu", chunk_frames=16)
+    try:
+        server.push(0, pcm)
+        # wait until every frame has been PROCESSED (stats count), without
+        # pulling — output may still sit in the deferred in-flight slot
+        deadline = time.time() + 30
+        while server.stats["frames_processed"] < t and time.time() < deadline:
+            time.sleep(0.005)
+    finally:
+        server.close()
+    out = server.pull(0)
+    assert len(out) == t * FRAME_LENGTH, len(out)
+
+
+def test_reset_drops_inflight_output(access_key, serve_model, rng):
+    """After reset(stream), no pre-reset audio may surface, even audio that
+    was in flight in the dispatch pipeline when the reset landed (ADVICE
+    r3: the deferred-routing window is a full chunk cycle)."""
+    t = 64
+    pcm = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+    server = StreamingServer(access_key, num_streams=2, model_path=serve_model,
+                             device="cpu", chunk_frames=32)
+    try:
+        for trial in range(5):
+            server.push(0, pcm)
+            time.sleep(0.01)        # let a chunked dispatch get in flight
+            server.reset(0)
+            time.sleep(0.1)         # give stale routing a chance to land
+            stale = server.pull(0)
+            # a sliver that raced the reset call itself is acceptable; a
+            # full in-flight chunk (32 frames) surfacing is the bug
+            assert len(stale) <= 8 * FRAME_LENGTH, (trial, len(stale))
+            server.reset(0)
+    finally:
+        server.close()
+
+
 def test_server_reset_stream(access_key, serve_model, rng):
     t = 6
     pcm = (rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
