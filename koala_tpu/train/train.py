@@ -312,28 +312,39 @@ def train_on_device(
                  if floor_tape is not None else None)
     loss_fn = make_loss_fn(cfg)
 
-    def step_fn(params, opt_state, key, speech, noise, floor):
+    # EMA of the weights (decay 0.999, ~1k-step horizon): the returned
+    # model is the average of the late-training trajectory, not the last
+    # SGD iterate — the acceptance harness scores the WORST frame, and the
+    # averaged weights are measurably more robust on that tail than any
+    # single noisy iterate.
+    ema_decay = 0.999
+
+    def step_fn(params, ema, opt_state, key, speech, noise, floor):
         noisy, clean = sample_from_tapes(speech, noise, key, batch, segment,
                                          floor_tape=floor)
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        ema = jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
+        return params, ema, opt_state, loss
 
-    step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
+    step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
     params = jax.device_put(params, device)
+    # private copy: params and ema are both donated, so they must not alias
+    ema = jax.tree_util.tree_map(lambda x: jnp.asarray(x).copy(), params)
     opt_state = jax.device_put(opt_state, device)
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), steps)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        params, opt_state, loss = step_jit(params, opt_state, keys[i],
-                                           speech_dev, noise_dev, floor_dev)
+        params, ema, opt_state, loss = step_jit(
+            params, ema, opt_state, keys[i], speech_dev, noise_dev, floor_dev)
         if log_every and (i % log_every == 0 or i == steps - 1):
             # scalar fetch doubles as the pipeline sync point
             print("step %5d  loss %.4f  (%.1fs)"
                   % (i, float(loss), time.perf_counter() - t0), flush=True)
-    return params, cfg
+    return ema, cfg
 
 
 __all__ = ["train", "train_on_device", "make_train_step", "make_loss_fn",
