@@ -162,8 +162,9 @@ def main() -> None:
     if os.path.exists(model_path):
         params, config = params_io.load_params(model_path)
     else:
-        params, config = (mask_gru.init_params(jax.random.PRNGKey(0)),
-                          mask_gru.DEFAULT_CONFIG)
+        params, config = (mask_gru.init_params(jax.random.PRNGKey(0),
+                                            mask_gru.TRAIN_CONFIG),
+                          mask_gru.TRAIN_CONFIG)
     engine = make_engine(config.get("kind", "mask_gru"), config)
 
     batch = int(os.environ.get("KOALA_BENCH_BATCH", "512"))

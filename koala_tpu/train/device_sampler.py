@@ -62,6 +62,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     talkers = crops(speech_tape, ks[3], (batch, 8))
     babble = (jnp.sum(talkers * bg, axis=1)
               / jnp.sqrt(jnp.sum(bg * bg, axis=1) + 1e-6))
+    n_tape = n                      # pre-substitution tape crop
     use_babble = jax.random.uniform(ks[4], (batch, 1)) < P_BABBLE
     n = jnp.where(use_babble, babble, n)
 
@@ -95,9 +96,17 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # Noise-only down to -45 dBFS: a stream with NO speech anywhere must be
     # suppressed even when quiet (sparse clicks / faint babble / hiss just
     # above floor level) — distinct from the floor that rides passthrough
-    # UNDER speech.
-    level = 10.0 ** (jax.random.uniform(ks[6], (batch, 1), minval=-45.0, maxval=-6.0) / 20.0)
-    n_only = n * (level / n_rms)
+    # UNDER speech. Babble share here is boosted independently of the
+    # mixture draw (40%): babble-only streams are the hardest noise-only
+    # case (speech-like content with no dominant talker), and riding the
+    # mixture's 25% babble flag left them ~1% of all examples.
+    k6a, k6b = jax.random.split(ks[6])
+    use_babble_n = jax.random.uniform(k6b, (batch, 1)) < 0.4
+    n_for_only = jnp.where(use_babble_n, babble, n_tape)
+    n_only_rms = jnp.sqrt(jnp.mean(n_for_only * n_for_only, axis=1,
+                                   keepdims=True) + eps)
+    level = 10.0 ** (jax.random.uniform(k6a, (batch, 1), minval=-45.0, maxval=-6.0) / 20.0)
+    n_only = n_for_only * (level / n_only_rms)
     n_peak = jnp.max(jnp.abs(n_only), axis=1, keepdims=True)
     n_only = n_only * jnp.minimum(1.0, 0.98 / jnp.maximum(n_peak, eps))
 

@@ -64,9 +64,17 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
         fr = x.reshape(b, s // FRAME_LENGTH, FRAME_LENGTH)
         return jnp.sqrt(jnp.mean(fr * fr, axis=-1) + 1e-10)
 
-    d_raw = jnp.abs(frms(est) - frms(ref))                # [B, F] harness domain
-    d = frms(est) - frms(ref)
+    ref_rms = frms(ref)
+    d_raw = jnp.abs(frms(est) - ref_rms)                  # [B, F] harness domain
+    d = frms(est) - ref_rms
     d = jnp.where(d < 0, -under_weight * d, d)            # [B, F]
+    # The harness-critical band: frames with ref RMS in [0.02, 0.15]
+    # (-34..-16 dBFS) are where every measured worst-frame failure lives —
+    # quieter frames cannot exceed the absolute 0.02 tolerance, louder
+    # frames have small relative error. 2x weight concentrates gradient
+    # exactly there.
+    critical = (ref_rms > 0.02) & (ref_rms < 0.15)
+    d = jnp.where(critical, 2.0 * d, d)
     # Stream-start emphasis: every training segment begins at fresh state,
     # exactly like a new stream — and the harness checks the first frames
     # too (noise leaked through the first ~100 ms before context built up).

@@ -47,8 +47,9 @@ def main():
     if os.path.exists(model_path):
         params, config = params_io.load_params(model_path)
     else:
-        params, config = (mask_gru.init_params(jax.random.PRNGKey(0)),
-                          dict(mask_gru.DEFAULT_CONFIG))
+        params, config = (mask_gru.init_params(jax.random.PRNGKey(0),
+                                            mask_gru.TRAIN_CONFIG),
+                          dict(mask_gru.TRAIN_CONFIG))
     engine = make_engine(config.get("kind", "mask_gru"), config)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)

@@ -67,7 +67,7 @@ def main():
                                          shard_batch)
     from koala_tpu.train.train import make_train_step
 
-    cfg = dict(mask_gru.DEFAULT_CONFIG)
+    cfg = dict(mask_gru.TRAIN_CONFIG)
     params = mask_gru.init_params(jax.random.PRNGKey(0), cfg)
     engine = make_engine("mask_gru", cfg)
     report = {}
