@@ -96,12 +96,14 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # Noise-only down to -45 dBFS: a stream with NO speech anywhere must be
     # suppressed even when quiet (sparse clicks / faint babble / hiss just
     # above floor level) — distinct from the floor that rides passthrough
-    # UNDER speech. Babble share here is boosted independently of the
-    # mixture draw (40%): babble-only streams are the hardest noise-only
+    # UNDER speech. Babble share here is drawn independently of the
+    # mixture flag (25%): babble-only streams are the hardest noise-only
     # case (speech-like content with no dominant talker), and riding the
-    # mixture's 25% babble flag left them ~1% of all examples.
+    # mixture's babble flag left them ~1% of all examples — but 40%
+    # measurably starved the other six noise kinds' noise-only exposure
+    # (band/impulsive/rumble gates regressed).
     k6a, k6b = jax.random.split(ks[6])
-    use_babble_n = jax.random.uniform(k6b, (batch, 1)) < 0.4
+    use_babble_n = jax.random.uniform(k6b, (batch, 1)) < 0.25
     n_for_only = jnp.where(use_babble_n, babble, n_tape)
     n_only_rms = jnp.sqrt(jnp.mean(n_for_only * n_for_only, axis=1,
                                    keepdims=True) + eps)

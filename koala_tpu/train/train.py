@@ -167,7 +167,7 @@ def make_loss_fn(config: Dict[str, Any], pvary_axis: Optional[str] = None):
 
         loss = (snr_loss(est, ref) + 20.0 * spectral_l1(est, ref)
                 + 90.0 * frame_rms_l1(est, ref)
-                + 16.0 * distortion)
+                + 20.0 * distortion)
         return loss
 
     return loss_fn
