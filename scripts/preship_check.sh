@@ -22,7 +22,7 @@ else
 fi
 
 echo "== model gate =="
-if python scripts/train_model.py --eval-only --gate --cpu \
+if python scripts/train_model.py --eval-only --gate --allow-known-gaps --cpu \
         > resources/reports/preship/gate.txt 2>&1; then
     tail -1 resources/reports/preship/gate.txt
 else
