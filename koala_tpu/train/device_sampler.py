@@ -22,7 +22,7 @@ import jax.numpy as jnp
 P_SILENCE = 0.05
 P_SPEECH_ONLY = 0.25   # generous: the acceptance harness's hardest case is
 P_NOISE_ONLY = 0.18    # perfect pass-through of clean speech
-P_BABBLE = 0.25        # babble is the hardest pure-noise case (speech-like)
+P_BABBLE = 0.30        # babble is the hardest pure-noise case (speech-like)
 
 
 def sample_from_tapes(speech_tape, noise_tape, key, batch: int,

@@ -11,8 +11,9 @@ fail=0
 
 echo "== pytest =="
 python -m pytest tests/ -q 2>&1 | tail -2 | tee resources/reports/preship/pytest.txt
-grep -qE "^[0-9]+ passed" resources/reports/preship/pytest.txt || fail=1
-grep -qE "failed|error" resources/reports/preship/pytest.txt && fail=1
+grep -qE "[0-9]+ passed" resources/reports/preship/pytest.txt || fail=1
+# match real failures only ("N failed" / "N errors"), NOT "N xfailed"
+grep -qE "[0-9]+ (failed|error)" resources/reports/preship/pytest.txt && fail=1
 
 echo "== bench =="
 if python bench.py > resources/reports/preship/bench.json 2> resources/reports/preship/bench.err; then
