@@ -20,12 +20,11 @@ reference tests.
 # check: "parity" = a dev_pure_speech/dev_pure_noise/dev_mixed >= 0.02,
 #        "si_sdr_gain" = gain <= 3 dB, "stoi" = regression > 0.01.
 KNOWN_GAPS = {
-    ("dev_heldout3:band", "si_sdr_gain"): 2.74,
-    ("dev_heldout5:babble", "parity"): 0.0325,
-    ("dev_heldout5:babble", "si_sdr_gain"): 1.42,
-    ("dev_heldout6:impulsive", "parity"): 0.0331,
-    ("dev_heldout7:rumble", "parity"): 0.0201,
-    ("reference_-6dB", "stoi"): 0.901,
+    ("dev_heldout3:band", "si_sdr_gain"): 2.45,
+    ("dev_heldout5:babble", "parity"): 0.0319,
+    ("dev_heldout5:babble", "si_sdr_gain"): 1.49,
+    ("dev_heldout7:rumble", "parity"): 0.0202,
+    ("reference_-6dB", "stoi"): 0.907,
 }
 
 # kind-name view for the battery-parameterized tests in test_parity.py
