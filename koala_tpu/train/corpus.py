@@ -657,7 +657,7 @@ def build_floor_tape(seed: int, n_clips: int,
 
 def build_noise_tape(seed: int, n_clips: int,
                      dur_range: Tuple[float, float] = (3.0, 6.0),
-                     babble_frac: float = 0.15,
+                     babble_frac: float = 0.25,
                      log_every: int = 0) -> np.ndarray:
     """Concatenated noise clips, float32, each scaled to RMS ~0.05."""
     rng = np.random.default_rng(seed)
