@@ -72,11 +72,10 @@ def frame_rms_l1(est: jnp.ndarray, ref: jnp.ndarray,
     # (-34..-16 dBFS) are where every measured worst-frame failure lives —
     # quieter frames cannot exceed the absolute 0.02 tolerance, louder
     # frames have small relative error. 2x weight concentrates gradient
-    # exactly there — on the UNDERSHOOT side only (speech attenuation, the
-    # reference-bar failure mode); boosting overshoot here as well leaned
-    # against residual-noise suppression in the battery's speech-like
-    # noise cases without helping any gate.
-    critical = (ref_rms > 0.02) & (ref_rms < 0.15) & (frms(est) < ref_rms)
+    # exactly there. Symmetric on purpose: restricting it to undershoot
+    # was tried and regressed the reference STOI gate (0.910 -> 0.897) —
+    # the overshoot side polices residual noise riding over quiet speech.
+    critical = (ref_rms > 0.02) & (ref_rms < 0.15)
     d = jnp.where(critical, 2.0 * d, d)
     # Stream-start emphasis: every training segment begins at fresh state,
     # exactly like a new stream — and the harness checks the first frames
