@@ -161,10 +161,14 @@ def test_ws_roundtrip_matches_direct_engine(web_server, serve_model, rng):
     ref = _float_to_pcm_np(np.asarray(out)).reshape(-1)[DELAY_SAMPLE:DELAY_SAMPLE + n]
     # The server steps a B=4 pool; XLA's batched reduction order differs
     # from the single-stream reference by float ULPs, which after int16
-    # rounding is at most 1 LSB on a fraction of samples (transport itself
-    # is bit-exact; see tests/test_serve.py for the same-batch bit parity).
-    np.testing.assert_allclose(got.astype(np.int32), ref.astype(np.int32),
-                               atol=1, rtol=0)
+    # rounding reaches 2 LSB on a handful of samples with the 321-input
+    # trained model (transport itself is bit-exact; see tests/test_serve.py
+    # for the same-batch bit parity). Alignment errors would shift whole
+    # frames — bounded out by the 2-LSB cap and the mismatch-fraction cap.
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 2, diff.max()
+    assert np.count_nonzero(diff > 1) <= max(2, n // 1000), \
+        np.count_nonzero(diff > 1)
 
 
 def test_ws_concurrent_clients(web_server, rng):
