@@ -326,8 +326,14 @@ def train_on_device(
     # model is the average of the late-training trajectory, not the last
     # SGD iterate — the acceptance harness scores the WORST frame, and the
     # averaged weights are measurably more robust on that tail than any
-    # single noisy iterate.
+    # single noisy iterate. Zero-init + bias correction (ema/(1-d^t)), so
+    # short runs return a true average instead of retaining d^t of the
+    # random init (ADVICE r4: at 1000 steps the init kept ~37% weight).
     ema_decay = 0.999
+    if steps * (1.0 - ema_decay) < 5.0:
+        print("WARNING: steps=%d is short for EMA decay %.3f — the "
+              "averaged weights cover < 5 EMA horizons" % (steps, ema_decay),
+              flush=True)
 
     def step_fn(params, ema, opt_state, key, speech, noise, floor):
         noisy, clean = sample_from_tapes(speech, noise, key, batch, segment,
@@ -341,8 +347,7 @@ def train_on_device(
 
     step_jit = jax.jit(step_fn, donate_argnums=(0, 1, 2))
     params = jax.device_put(params, device)
-    # private copy: params and ema are both donated, so they must not alias
-    ema = jax.tree_util.tree_map(lambda x: jnp.asarray(x).copy(), params)
+    ema = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), params)
     opt_state = jax.device_put(opt_state, device)
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), steps)
 
@@ -354,6 +359,8 @@ def train_on_device(
             # scalar fetch doubles as the pipeline sync point
             print("step %5d  loss %.4f  (%.1fs)"
                   % (i, float(loss), time.perf_counter() - t0), flush=True)
+    debias = 1.0 - ema_decay ** max(steps, 1)
+    ema = jax.tree_util.tree_map(lambda e: e / debias, ema)
     return ema, cfg
 
 

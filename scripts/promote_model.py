@@ -26,9 +26,17 @@ def main():
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from train_model import check_gates
 
+    # allow_known_gaps: a candidate may still carry the ledgered gaps (it
+    # must not be WORSE than the ledger — check_gates enforces the
+    # regression bound). Without it the promote-best-available workflow was
+    # unusable: even the currently bundled model would be refused
+    # (ADVICE r4). A candidate that CLOSES ledger entries prints
+    # "KNOWN-GAP (allowed)" lines only for the ones it still has — update
+    # tests/known_gaps.py to match after promoting.
     results = json.load(open(report_path))
-    if not check_gates(results):
-        print("refusing to promote: gates failed")
+    if not check_gates(results, allow_known_gaps=True):
+        print("refusing to promote: gates failed (new regression or "
+              "worse-than-ledger gap)")
         sys.exit(1)
 
     dst = os.path.join(REPO, "models", "koala_params_tpu.pv")

@@ -29,8 +29,22 @@ KNOWN_GAPS = {
     ("dev_heldout7:rumble", "parity"): 0.0205,
 }
 
-# kind-name view for the battery-parameterized tests in test_parity.py
+# kind-name view for the battery-parameterized tests in test_parity.py:
+# (kind, check) -> value measured at promotion. Tests use the value as a
+# regression bound — a ledgered gap may stay ledgered, but it may not get
+# WORSE than recorded (ADVICE r4: a bare xfail would let 0.0319 regress to
+# 0.5 silently).
 BATTERY_GAPS = {
-    (name.split(":", 1)[1], check)
-    for (name, check) in KNOWN_GAPS if ":" in name
+    (name.split(":", 1)[1], check): value
+    for (name, check), value in KNOWN_GAPS.items() if ":" in name
 }
+
+
+def regression_bound(check: str, recorded: float) -> float:
+    """The worst value a ledgered gap may reach before it counts as a NEW
+    regression (fails hard instead of xfailing). Parity/stoi metrics are
+    smaller-is-better (allow 15% + eps slack over the recorded value);
+    si_sdr_gain is bigger-is-better in dB (allow 0.5 dB below recorded)."""
+    if check == "si_sdr_gain":
+        return recorded - 0.5
+    return recorded * 1.15 + 1e-4

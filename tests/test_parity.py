@@ -78,17 +78,35 @@ def heldout_battery(trained_model):
     return out
 
 
-def _xfail_if_known(kind, check):
-    """Known bundled-model gaps (tests/known_gaps.py, the single ledger)
-    are expected failures, NOT disabled gates: strict=False means they go
-    green (XPASS) the moment a better model is promoted, and everything
-    not in the ledger stays enforced."""
-    from known_gaps import BATTERY_GAPS
+def _ledger_gate(kind, check, passed, value, detail):
+    """Enforce a battery gate with known-gaps-ledger semantics (the ledger
+    is tests/known_gaps.py, the single source of truth):
+    - gate passes -> test is green (a fixed ledgered gap surfaces as a
+      plain PASS; the ledger entry is then stale and should be removed);
+    - gate fails, not in the ledger -> hard failure (new regression);
+    - gate fails, in the ledger, metric within regression_bound of the
+      recorded value -> xfail (known gap, unchanged);
+    - gate fails, in the ledger, metric WORSE than the bound -> hard
+      failure (ADVICE r4: a bare xfail let ledgered metrics regress
+      arbitrarily with no signal)."""
+    from known_gaps import BATTERY_GAPS, regression_bound
 
-    if (kind, check) in BATTERY_GAPS:
-        pytest.xfail("known bundled-model gap (%s %s) — see "
-                     "tests/known_gaps.py / models/train_report.json"
-                     % (kind, check))
+    if passed:
+        return
+    recorded = BATTERY_GAPS.get((kind, check))
+    if recorded is None:
+        raise AssertionError("battery gate failed (not in the known-gaps "
+                             "ledger): %s %s = %.4f; %r"
+                             % (kind, check, value, detail))
+    bound = regression_bound(check, recorded)
+    if (value < bound) if check == "si_sdr_gain" else (value > bound):
+        raise AssertionError(
+            "ledgered gap REGRESSED beyond its recorded value: %s %s = %.4f "
+            "vs recorded %.4f (bound %.4f); %r"
+            % (kind, check, value, recorded, bound, detail))
+    pytest.xfail("known bundled-model gap (%s %s = %.4f, recorded %.4f) — "
+                 "see tests/known_gaps.py / models/train_report.json"
+                 % (kind, check, value, recorded))
 
 
 @pytest.mark.parametrize("kind", [k for _, k in BATTERY])
@@ -96,10 +114,8 @@ def test_heldout_energy_parity(heldout_battery, kind):
     r = heldout_battery.get(kind)
     if r is None:
         pytest.skip("fixture pair for %s missing" % kind)
-    _xfail_if_known(kind, "parity")
-    assert r["dev_pure_speech"] < 0.02, (kind, r)
-    assert r["dev_pure_noise"] < 0.02, (kind, r)
-    assert r["dev_mixed"] < 0.02, (kind, r)
+    worst = max(r["dev_pure_speech"], r["dev_pure_noise"], r["dev_mixed"])
+    _ledger_gate(kind, "parity", worst < 0.02, worst, r)
 
 
 @pytest.mark.parametrize("kind", [k for _, k in BATTERY])
@@ -107,8 +123,8 @@ def test_heldout_si_sdr_gain(heldout_battery, kind):
     r = heldout_battery.get(kind)
     if r is None:
         pytest.skip("fixture pair for %s missing" % kind)
-    _xfail_if_known(kind, "si_sdr_gain")
-    assert r["si_sdr_gain_db"] > 3.0, (kind, r)
+    _ledger_gate(kind, "si_sdr_gain", r["si_sdr_gain_db"] > 3.0,
+                 r["si_sdr_gain_db"], r)
 
 
 @pytest.mark.parametrize("kind", [k for _, k in BATTERY])
@@ -118,8 +134,8 @@ def test_heldout_stoi_no_regression(heldout_battery, kind):
     r = heldout_battery.get(kind)
     if r is None:
         pytest.skip("fixture pair for %s missing" % kind)
-    _xfail_if_known(kind, "stoi")
-    assert r["stoi_mixed"] > r["stoi_input"] - 0.01, (kind, r)
+    _ledger_gate(kind, "stoi", r["stoi_mixed"] > r["stoi_input"] - 0.01,
+                 r["stoi_input"] - r["stoi_mixed"], r)
 
 
 @pytest.fixture(scope="module")
