@@ -66,6 +66,28 @@ int32_t kt_pool_gather_f32(kt_pool_t *pool, float *batch_out,
 int32_t kt_pool_gather_chunk(kt_pool_t *pool, int16_t *batch_out,
                              int32_t *counts_out, int32_t max_frames);
 
+/* Batched producer: append counts[i] frames from rows
+ * ([n_streams][max_frames][frame_length] row-major) to streams
+ * first_stream+i, in ONE call — the batched host hop that lets a single
+ * producer (or the serving dispatcher routing device output) move the
+ * whole pool's audio without per-stream call overhead. Returns total
+ * frames appended (rings that overflow drop and are excluded). */
+int32_t kt_pool_push_rows(kt_pool_t *pool, int32_t first_stream,
+                          int32_t n_streams, const int16_t *rows,
+                          const int32_t *counts, int32_t max_frames);
+
+/* As kt_pool_push_rows, but rows are float32 at fullscale 1.0 and are
+ * converted to int16 while being written into the rings (fused
+ * convert+route for device output). */
+int32_t kt_pool_push_rows_f32(kt_pool_t *pool, int32_t first_stream,
+                              int32_t n_streams, const float *rows,
+                              const int32_t *counts, int32_t max_frames);
+
+/* Consumer side, single stream: pop up to max_samples buffered samples
+ * into `out`; returns the number popped (0 if empty, -1 on bad args). */
+int32_t kt_pool_pull(kt_pool_t *pool, int32_t stream, int16_t *out,
+                     int32_t max_samples);
+
 /* Drop all buffered audio for one stream (stream reset/rebind). */
 void kt_pool_reset_stream(kt_pool_t *pool, int32_t stream);
 

@@ -68,6 +68,22 @@ def load_hostlib() -> ctypes.CDLL:
                                          ctypes.POINTER(ctypes.c_int16),
                                          ctypes.POINTER(ctypes.c_int32),
                                          ctypes.c_int32]
+    lib.kt_pool_push_rows.restype = ctypes.c_int32
+    lib.kt_pool_push_rows.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                      ctypes.c_int32,
+                                      ctypes.POINTER(ctypes.c_int16),
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.c_int32]
+    lib.kt_pool_push_rows_f32.restype = ctypes.c_int32
+    lib.kt_pool_push_rows_f32.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                          ctypes.c_int32,
+                                          ctypes.POINTER(ctypes.c_float),
+                                          ctypes.POINTER(ctypes.c_int32),
+                                          ctypes.c_int32]
+    lib.kt_pool_pull.restype = ctypes.c_int32
+    lib.kt_pool_pull.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                 ctypes.POINTER(ctypes.c_int16),
+                                 ctypes.c_int32]
     lib.kt_pool_reset_stream.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.kt_pool_dropped_samples.restype = ctypes.c_int64
     lib.kt_pool_dropped_samples.argtypes = [ctypes.c_void_p]
@@ -139,6 +155,41 @@ class StreamPool:
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_frames)
         return batch, counts, int(total)
+
+    def push_rows(self, rows: np.ndarray, counts: np.ndarray,
+                  first_stream: int = 0) -> int:
+        """Batched push: append counts[i] frames from rows[i] ([n, k, frame]
+        int16) to streams first_stream+i — the whole pool's audio in ONE
+        native hop. Returns total frames appended."""
+        rows = np.ascontiguousarray(rows, np.int16)
+        if rows.ndim == 2:                      # [n, frame] == one frame/row
+            rows = rows[:, None, :]
+        counts = np.ascontiguousarray(counts, np.int32)
+        return int(self._lib.kt_pool_push_rows(
+            self._handle, first_stream, rows.shape[0], _i16ptr(rows),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rows.shape[1]))
+
+    def push_rows_f32(self, rows: np.ndarray, counts: np.ndarray,
+                      first_stream: int = 0) -> int:
+        """As push_rows, but rows are float32 at fullscale 1.0, converted to
+        int16 inside the native call (fused convert+route)."""
+        rows = np.ascontiguousarray(rows, np.float32)
+        if rows.ndim == 2:
+            rows = rows[:, None, :]
+        counts = np.ascontiguousarray(counts, np.int32)
+        return int(self._lib.kt_pool_push_rows_f32(
+            self._handle, first_stream, rows.shape[0],
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rows.shape[1]))
+
+    def pull(self, stream: int, max_samples: int) -> np.ndarray:
+        """Pop up to max_samples buffered samples from one stream."""
+        out = np.empty((max_samples,), np.int16)
+        n = self._lib.kt_pool_pull(self._handle, stream, _i16ptr(out),
+                                   max_samples)
+        return out[:max(n, 0)]
 
     def reset_stream(self, stream: int) -> None:
         self._lib.kt_pool_reset_stream(self._handle, stream)

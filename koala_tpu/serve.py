@@ -1,4 +1,4 @@
-"""Async streaming server: many live audio streams -> one batched device.
+"""Async streaming server: many live audio streams -> batched device steps.
 
 The TPU-native analog of the reference's Web-Worker offload (binding/web/
 src/koala_worker.ts + koala_worker_handler.ts: audio thread posts frames to
@@ -6,21 +6,33 @@ a worker so it never blocks on the engine). Here:
 
   producers (audio callbacks)  --push-->  native StreamPool ring buffers
   dispatch thread:  gather ready frames -> masked batched engine step
-                    -> route enhanced frames to per-stream output queues
+                    -> route enhanced frames into native output rings
+  consumers (playback callbacks)  <--pull--  native output ring buffers
 
 The engine advances ALL pool slots in lockstep (uniform compute) but
 commits state only for streams that contributed a real frame (masked
 commit), so mixed-rate producers stay bit-correct. Push/pull never touch
-the device; the dispatch thread owns all device traffic.
+the device; the dispatch thread owns all device traffic. Both directions
+of the host data plane are single native calls per batch (kt_pool_push_rows
+/ kt_pool_gather_chunk / kt_pool_push_rows_f32) — the whole pool's audio
+moves per hop, never per-stream Python loops (the reference's worker
+message pump marshals whole frames in one hop the same way,
+koala_worker_handler.ts:123-155).
+
+Scale-out: ``devices=N`` (or "all") shards the slot pool across N local
+accelerator devices — per-device sub-pools with independent params/state,
+no cross-device collectives (each stream is a data-parallel unit; SURVEY §2
+parallelism table "batching across streams" as new capability). Dispatch
+issues all N device steps back-to-back (async) each round, so the devices
+run concurrently.
 """
 
 from __future__ import annotations
 
-import collections
 import os
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 
@@ -30,7 +42,7 @@ from .constants import DELAY_SAMPLE, FRAME_LENGTH, SAMPLE_RATE
 from .device import parse_device, resolve_jax_device
 from .engine.batch import masked_reset
 from .engine.core import make_engine
-from .engine.stream import _float_to_pcm_np, validate_access_key
+from .engine.stream import validate_access_key
 from .errors import (
     ERROR_STACK,
     KoalaActivationLimitError,
@@ -43,6 +55,17 @@ from .hostlib import StreamPool
 from .models import params_io
 
 
+class _Shard:
+    """One device's slice of the stream pool: [lo, hi) slots."""
+
+    def __init__(self, device, lo: int, hi: int, params, state):
+        self.device = device
+        self.lo = lo
+        self.hi = hi
+        self.params = params
+        self.state = state
+
+
 class StreamingServer:
     """Batched streaming enhancement service over ``num_streams`` slots."""
 
@@ -52,7 +75,9 @@ class StreamingServer:
             num_streams: int,
             model_path: Optional[str] = None,
             device: Optional[str] = None,
+            devices: Union[int, str, None] = None,
             capacity_frames: int = 256,
+            out_capacity_frames: Optional[int] = None,
             poll_interval_s: float = 0.002,
             chunk_frames: int = 32):
         validate_access_key(access_key)
@@ -69,24 +94,34 @@ class StreamingServer:
             raise_with_stack(KoalaInvalidArgumentError, "Initialization failed")
 
         self.num_streams = num_streams
-        self._device = resolve_jax_device(parse_device(device or "best"))
+        dev0 = resolve_jax_device(parse_device(device or "best"))
+        dev_list = self._resolve_device_list(dev0, devices, num_streams)
         params, config = params_io.load_params(model_path)
         self._engine = make_engine(config.get("kind", "mask_gru"), config)
-        self._params = jax.device_put(params, self._device)
-        with jax.default_device(self._device):
-            self._state = self._engine.init_state((num_streams,))
+
+        # Contiguous slot ranges per device (sizes differ by at most one).
+        bounds = np.linspace(0, num_streams, len(dev_list) + 1).astype(int)
+        self._shards: List[_Shard] = []
+        for d, lo, hi in zip(dev_list, bounds[:-1], bounds[1:]):
+            p = jax.device_put(params, d)
+            with jax.default_device(d):
+                st = self._engine.init_state((int(hi - lo),))
+            self._shards.append(_Shard(d, int(lo), int(hi), p, st))
 
         self._pool = StreamPool(num_streams, FRAME_LENGTH, capacity_frames)
+        # Output rings: must absorb the client's pull cadence; overflow
+        # drops (counted) rather than blocking the dispatch thread.
+        out_cap = out_capacity_frames or max(4 * capacity_frames,
+                                             4 * chunk_frames)
+        self._out_pool = StreamPool(num_streams, FRAME_LENGTH, out_cap)
         self._chunk_frames = max(1, min(chunk_frames, capacity_frames))
         self._free_slots = list(range(num_streams))
         self._slot_lock = threading.Lock()
-        self._out_queues: List[collections.deque] = [
-            collections.deque() for _ in range(num_streams)]
         self._out_lock = threading.Lock()
         self._reset_pending = np.zeros((num_streams,), bool)
         # Per-stream reset generation: routing drops in-flight output from
         # before a reset (the deferred one-iteration routing would otherwise
-        # deliver up to chunk_frames of stale pre-reset audio to a queue the
+        # deliver up to chunk_frames of stale pre-reset audio to a ring the
         # slot's NEXT client may already own).
         self._reset_gen = np.zeros((num_streams,), np.int64)
         self._reset_lock = threading.Lock()
@@ -97,13 +132,30 @@ class StreamingServer:
         eng = self._engine
 
         def _reset_fn(state, mask):
-            return masked_reset(state, eng.init_state((num_streams,)), mask)
+            return masked_reset(state, eng.init_state((mask.shape[0],)), mask)
 
         self._reset_jit = jax.jit(_reset_fn, donate_argnums=(0,))
 
         self._running = True
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
+
+    @staticmethod
+    def _resolve_device_list(dev0, devices, num_streams):
+        if devices in (None, 1):
+            return [dev0]
+        same = [d for d in jax.devices() if d.platform == dev0.platform]
+        n = len(same) if devices == "all" else int(devices)
+        if n < 1 or n > len(same):
+            ERROR_STACK.push("requested %s devices, %d available on platform "
+                             "`%s`" % (devices, len(same), dev0.platform))
+            raise_with_stack(KoalaInvalidArgumentError,
+                             "Invalid devices argument")
+        if num_streams < n:
+            ERROR_STACK.push("num_streams=%d < devices=%d" % (num_streams, n))
+            raise_with_stack(KoalaInvalidArgumentError,
+                             "Invalid devices argument")
+        return same[:n]
 
     # -- producer API (any thread) ----------------------------------------
 
@@ -130,16 +182,30 @@ class StreamingServer:
         """Append int16 samples to a stream. False on ring overflow."""
         return self._pool.push(stream, samples)
 
+    def push_block(self, rows: np.ndarray, counts: np.ndarray,
+                   first_stream: int = 0) -> int:
+        """Batched producer hop: append counts[i] frames from rows[i]
+        ([n, k, 256] int16) to streams first_stream+i in ONE native call.
+        Returns total frames accepted (overflowing rings drop)."""
+        return self._pool.push_rows(rows, counts, first_stream)
+
     def pull(self, stream: int, max_frames: Optional[int] = None) -> np.ndarray:
         """Fetch enhanced int16 samples queued for a stream (may be empty)."""
-        out = []
         with self._out_lock:
-            q = self._out_queues[stream]
-            while q and (max_frames is None or len(out) < max_frames):
-                out.append(q.popleft())
-        if not out:
-            return np.zeros((0,), np.int16)
-        return np.concatenate(out)
+            ready = self._out_pool.frames_ready(stream)
+            take = ready if max_frames is None else min(ready, max_frames)
+            if take <= 0:
+                return np.zeros((0,), np.int16)
+            return self._out_pool.pull(stream, take * FRAME_LENGTH)
+
+    def pull_block(self, max_frames: int):
+        """Batched consumer hop: pop up to ``max_frames`` enhanced frames
+        from EVERY stream in one native call. Returns (rows [B, k, 256]
+        int16, counts [B]) — rows beyond counts[i] are zero. The returned
+        buffers are reused by the next call; copy to retain."""
+        with self._out_lock:
+            rows, counts, _ = self._out_pool.gather_chunk(max_frames)
+        return rows, counts
 
     def reset(self, stream: int) -> None:
         """Schedule a stream reset (applied before its next frame)."""
@@ -148,55 +214,52 @@ class StreamingServer:
             self._reset_pending[stream] = True
             self._reset_gen[stream] += 1
         # Ordering matters: the generation bump above happens BEFORE the
-        # queue clear, so routing (which snapshots generations under
+        # output-ring clear, so routing (which re-checks generations under
         # _out_lock) either sees the bump and skips, or appends before this
         # clear runs — never stale-after-clear.
         with self._out_lock:
-            self._out_queues[stream].clear()
+            self._out_pool.reset_stream(stream)
 
     # -- dispatch thread ---------------------------------------------------
 
     def _dispatch_loop(self) -> None:
         """Device dispatch with backlog amortization + pipelined routing.
 
-        Two compiled paths share one streaming state:
+        Two compiled paths share the streaming state:
         - no backlog (every stream has <= 1 ready frame): single-frame
           masked step, minimum latency;
         - backlog: gather up to ``chunk_frames`` frames per stream and run
-          ONE chunked device step (a lax.scan of the same masked step, so
-          results are bit-identical to k single steps) — one dispatch
-          round-trip now covers k frames per stream instead of one. This is
-          what lets throughput exceed 1/dispatch-latency (VERDICT r2 #2):
-          at RTT ~= r and chunk k, sustained rate ~= B*k*16ms/r.
+          ONE chunked device step per shard (a lax.scan of the same masked
+          step, so results are bit-identical to k single steps) — one
+          dispatch round-trip covers k frames per stream instead of one.
+          This is what lets throughput exceed 1/dispatch-latency: at RTT
+          ~= r and chunk k, sustained rate ~= B*k*16ms/r.
 
         Output routing is DEFERRED one iteration: the np.asarray() fetch of
         step N's output happens after step N+1 has been dispatched, so the
-        host-side fetch/route overlaps the in-flight device step.
+        host-side fetch/route overlaps the in-flight device steps. With
+        multiple shards, all device steps of a round are dispatched
+        back-to-back before any fetch — the devices run concurrently.
         """
-        inflight = None   # (device out array, counts [B], gen snapshot [B])
+        inflight = None   # (list of device out arrays, counts [B], gen [B])
 
-        def route(out_dev, counts, gen):
-            # blocks until the device step has finished
-            out_np = _float_to_pcm_np(np.asarray(out_dev))
+        def route(outs_dev, counts, gen):
+            # np.asarray blocks until each shard's device step finishes.
+            outs_np = [np.asarray(o, np.float32) for o in outs_dev]
             n = 0
             with self._out_lock:
-                # Snapshot generations INSIDE _out_lock: a concurrent
-                # reset() bumps the generation before clearing the queue,
+                # Re-check generations INSIDE _out_lock: a concurrent
+                # reset() bumps the generation before clearing the ring,
                 # so either we see the bump here (skip), or our append
                 # completes before its clear (stale frames removed).
                 with self._reset_lock:
                     cur_gen = self._reset_gen.copy()
-                for i in np.nonzero(counts)[0]:
-                    if cur_gen[i] != gen[i]:
-                        continue             # stream reset since dispatch
-                    c = int(counts[i])
-                    q = self._out_queues[i]
-                    if out_np.ndim == 3:     # chunked [B, k, 256]
-                        for j in range(c):
-                            q.append(out_np[i, j])
-                    else:                    # single [B, 256]
-                        q.append(out_np[i])
-                    n += c
+                valid = counts.copy()
+                valid[cur_gen != gen] = 0
+                for shard, out_np in zip(self._shards, outs_np):
+                    n += self._out_pool.push_rows_f32(
+                        out_np, valid[shard.lo:shard.hi],
+                        first_stream=shard.lo)
             self._frames_processed += n
             self._steps += 1
 
@@ -204,9 +267,11 @@ class StreamingServer:
             with self._reset_lock:
                 pending = self._reset_pending.copy()
                 self._reset_pending[:] = False
-                gen_snapshot = self._reset_gen.copy()
             if pending.any():
-                self._state = self._reset_jit(self._state, pending)
+                for shard in self._shards:
+                    m = pending[shard.lo:shard.hi]
+                    if m.any():
+                        shard.state = self._reset_jit(shard.state, m)
 
             batch, counts, total = self._pool.gather_chunk(self._chunk_frames)
             # The pool's gather buffers are REUSED on the next call, but jax
@@ -214,6 +279,19 @@ class StreamingServer:
             # array handed to a jit below must be a private copy (the
             # .astype() calls copy `batch`; `counts` needs an explicit one).
             counts = counts.copy()
+            # Snapshot generations AFTER the gather, and void the frames of
+            # any stream whose reset() landed between the pending snapshot
+            # above and the gather (ADVICE r4: those frames are pre-reset
+            # audio already popped from the ring — processing them would
+            # advance the freshly-reset state with flushed audio; zeroing
+            # their count makes the masked step skip the state commit, and
+            # reset() semantics already promise buffered audio is dropped).
+            with self._reset_lock:
+                gen_snapshot = self._reset_gen.copy()
+                late = self._reset_pending.copy()
+            if late.any():
+                counts[late] = 0
+                total = int(counts.sum())
             if total == 0:
                 if inflight is not None:
                     route(*inflight)
@@ -222,16 +300,24 @@ class StreamingServer:
                     time.sleep(self._poll)
                 continue
 
+            outs = []
             if counts.max() <= 1:
-                active = counts.astype(bool)
-                hop = batch[:, 0, :].astype(np.float32) / 32768.0
-                self._state, out = self._engine.step_masked_jit(
-                    self._params, self._state, hop, active)
+                hop_all = batch[:, 0, :].astype(np.float32) / 32768.0
+                for shard in self._shards:
+                    active = counts[shard.lo:shard.hi].astype(bool)
+                    shard.state, out = self._engine.step_masked_jit(
+                        shard.params, shard.state,
+                        hop_all[shard.lo:shard.hi], active)
+                    outs.append(out)
             else:
-                hops = batch.astype(np.float32) / 32768.0
-                self._state, out = self._engine.chunk_masked_jit(
-                    self._params, self._state, hops, counts)
-            this = (out, counts, gen_snapshot)
+                hops_all = batch.astype(np.float32) / 32768.0
+                for shard in self._shards:
+                    shard.state, out = self._engine.chunk_masked_jit(
+                        shard.params, shard.state,
+                        hops_all[shard.lo:shard.hi],
+                        counts[shard.lo:shard.hi])
+                    outs.append(out)
+            this = (outs, counts, gen_snapshot)
             if inflight is not None:
                 route(*inflight)
             inflight = this
@@ -248,6 +334,8 @@ class StreamingServer:
             "device_steps": self._steps,
             "audio_seconds": self._frames_processed * FRAME_LENGTH / SAMPLE_RATE,
             "dropped_samples": self._pool.dropped_samples,
+            "dropped_output_samples": self._out_pool.dropped_samples,
+            "devices": len(self._shards),
         }
 
     @property
@@ -263,6 +351,9 @@ class StreamingServer:
         if self._thread.is_alive():
             self._thread.join(timeout=5.0)
         self._pool.close()
+        # The output pool stays alive: clients may still pull enhanced audio
+        # that close() just drained from the final in-flight step (it is
+        # freed with the server object via StreamPool.__del__).
 
 
 __all__ = ["StreamingServer"]

@@ -62,6 +62,28 @@ struct Ring {
         tail.store(t + n, std::memory_order_release);
     }
 
+    // As push(), but converts float32 (fullscale 1.0) to int16 while
+    // writing into the ring — the fused convert+route used by the serving
+    // dispatcher to move a whole device batch in one call.
+    kt_status_t push_f32(const float *samples, int64_t n) {
+        int64_t h = head.load(std::memory_order_relaxed);
+        int64_t t = tail.load(std::memory_order_acquire);
+        int64_t free_space = capacity - (h - t);
+        int64_t to_write = n < free_space ? n : free_space;
+        for (int64_t i = 0; i < to_write; ++i) {
+            float v = std::nearbyint(samples[i] * 32768.0f);
+            if (v > 32767.0f) v = 32767.0f;
+            if (v < -32768.0f) v = -32768.0f;
+            data[(h + i) & (capacity - 1)] = static_cast<int16_t>(v);
+        }
+        head.store(h + to_write, std::memory_order_release);
+        if (to_write < n) {
+            dropped.fetch_add(n - to_write, std::memory_order_relaxed);
+            return KT_OVERFLOW;
+        }
+        return KT_SUCCESS;
+    }
+
     void clear() {
         tail.store(head.load(std::memory_order_acquire),
                    std::memory_order_release);
@@ -182,6 +204,57 @@ int32_t kt_pool_gather_chunk(kt_pool_t *pool, int16_t *batch_out,
         total += take;
     }
     return total;
+}
+
+int32_t kt_pool_push_rows(kt_pool_t *pool, int32_t first_stream,
+                          int32_t n_streams, const int16_t *rows,
+                          const int32_t *counts, int32_t max_frames) {
+    if (!pool || !rows || !counts || max_frames <= 0 || first_stream < 0 ||
+        n_streams < 0 || first_stream + n_streams > pool->num_streams)
+        return -1;
+    const int32_t fl = pool->frame_length;
+    int32_t total = 0;
+    for (int32_t i = 0; i < n_streams; ++i) {
+        int32_t c = counts[i];
+        if (c <= 0) continue;
+        if (c > max_frames) c = max_frames;
+        const int16_t *row = rows + static_cast<int64_t>(i) * max_frames * fl;
+        if (pool->rings[first_stream + i].push(
+                row, static_cast<int64_t>(c) * fl) == KT_SUCCESS)
+            total += c;
+    }
+    return total;
+}
+
+int32_t kt_pool_push_rows_f32(kt_pool_t *pool, int32_t first_stream,
+                              int32_t n_streams, const float *rows,
+                              const int32_t *counts, int32_t max_frames) {
+    if (!pool || !rows || !counts || max_frames <= 0 || first_stream < 0 ||
+        n_streams < 0 || first_stream + n_streams > pool->num_streams)
+        return -1;
+    const int32_t fl = pool->frame_length;
+    int32_t total = 0;
+    for (int32_t i = 0; i < n_streams; ++i) {
+        int32_t c = counts[i];
+        if (c <= 0) continue;
+        if (c > max_frames) c = max_frames;
+        const float *row = rows + static_cast<int64_t>(i) * max_frames * fl;
+        if (pool->rings[first_stream + i].push_f32(
+                row, static_cast<int64_t>(c) * fl) == KT_SUCCESS)
+            total += c;
+    }
+    return total;
+}
+
+int32_t kt_pool_pull(kt_pool_t *pool, int32_t stream, int16_t *out,
+                     int32_t max_samples) {
+    if (!pool || stream < 0 || stream >= pool->num_streams || !out ||
+        max_samples < 0)
+        return -1;
+    int64_t n = pool->rings[stream].readable();
+    if (n > max_samples) n = max_samples;
+    if (n > 0) pool->rings[stream].pop(out, n);
+    return static_cast<int32_t>(n);
 }
 
 void kt_pool_reset_stream(kt_pool_t *pool, int32_t stream) {

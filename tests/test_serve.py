@@ -138,3 +138,83 @@ def test_server_reset_stream(access_key, serve_model, rng):
         assert server.stats["frames_processed"] >= 2 * t
     finally:
         server.close()
+
+
+def test_server_multi_device_shards(access_key, serve_model, rng):
+    """devices=4 shards the slot pool across 4 of the 8 virtual CPU devices
+    (per-device sub-pools + sub-states, no collectives — SURVEY §2
+    parallelism: batching across streams as new capability). Every shard's
+    output must match the single-device server bit-for-bit."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    t = 10
+    streams = 8
+    pcm = [(rng.standard_normal(t * FRAME_LENGTH) * 5000).astype(np.int16)
+           for _ in range(streams)]
+
+    ref_server = StreamingServer(access_key, num_streams=streams,
+                                 model_path=serve_model, device="cpu")
+    try:
+        for i in range(streams):
+            ref_server.push(i, pcm[i])
+        ref = [_drain(ref_server, i, len(pcm[i])) for i in range(streams)]
+    finally:
+        ref_server.close()
+
+    server = StreamingServer(access_key, num_streams=streams,
+                             model_path=serve_model, device="cpu", devices=4)
+    try:
+        assert server.stats["devices"] == 4
+        for i in range(streams):
+            server.push(i, pcm[i])
+        for i in range(streams):
+            out = _drain(server, i, len(pcm[i]))
+            # shard batch B=2 vs pool batch B=8 compile to different XLA
+            # programs; int16 may differ by 1 LSB at rounding edges
+            np.testing.assert_allclose(out, ref[i], atol=1, err_msg=str(i))
+    finally:
+        server.close()
+
+
+def test_server_batched_push_pull(access_key, serve_model, rng):
+    """push_block/pull_block move the whole pool's audio in one native hop
+    each and must agree with the per-stream push/pull path."""
+    t = 12
+    streams = 4
+    rows = (rng.standard_normal((streams, t, FRAME_LENGTH)) * 5000
+            ).astype(np.int16)
+    counts = np.full((streams,), t, np.int32)
+
+    ref_server = StreamingServer(access_key, num_streams=streams,
+                                 model_path=serve_model, device="cpu")
+    try:
+        for i in range(streams):
+            ref_server.push(i, rows[i].reshape(-1))
+        ref = [_drain(ref_server, i, t * FRAME_LENGTH) for i in range(streams)]
+    finally:
+        ref_server.close()
+
+    server = StreamingServer(access_key, num_streams=streams,
+                             model_path=serve_model, device="cpu")
+    try:
+        accepted = server.push_block(rows, counts)
+        assert accepted == streams * t
+        got = [[] for _ in range(streams)]
+        need = streams * t
+        deadline = time.time() + 30
+        while need > 0 and time.time() < deadline:
+            out_rows, out_counts = server.pull_block(max_frames=t)
+            for i in range(streams):
+                c = int(out_counts[i])
+                if c:
+                    got[i].append(out_rows[i, :c].copy().reshape(-1))
+                    need -= c
+            if need > 0:
+                time.sleep(0.005)
+        for i in range(streams):
+            out = np.concatenate(got[i]) if got[i] else np.zeros(0, np.int16)
+            np.testing.assert_array_equal(out, ref[i], err_msg=str(i))
+    finally:
+        server.close()
