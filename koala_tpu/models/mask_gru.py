@@ -85,6 +85,19 @@ DEFAULT_CONFIG = {
     # -29 dB noise filling speech gaps (suppress it) — the absolute floor
     # level is what disambiguates. Off by default (legacy model files).
     "floor_feat": False,
+    # Cepstral-peak (harmonicity) features: ``cep_feats`` group-maxima of
+    # the real cepstrum over the pitch-lag range 40..200 samples (F0
+    # 80..400 Hz at 16 kHz). Rationale: the hardest residual battery gap is
+    # BABBLE — overlapping talkers are locally speech-like in every
+    # log-magnitude/SNR feature the model gets, but a single voice has ONE
+    # coherent harmonic comb (strong cepstral peak at its pitch lag) while
+    # summed talkers cancel each other's combs; clicks/impulses are
+    # spectrally flat (no peak at all). The cepstrum is linear in the log
+    # spectrum, so these are one fixed matmul + a grouped max — frame-local
+    # (hoists out of the scan), and mean-free in log-magnitude => gain-
+    # invariant by construction. 0 disables (legacy model files).
+    "cep_feats": 0,
+    "cep_scale": 2.0,
     # MXU compute dtype for the model matmuls (accumulation stays f32 via
     # preferred_element_type). bfloat16 runs the MXU at full rate; the mask
     # head stays well inside the harness tolerance. Gate math and state
@@ -98,16 +111,19 @@ DEFAULT_CONFIG = {
 }
 
 # The config new models are trained with: posterior-SNR + absolute-floor
-# tracker features enabled. save_params persists the FULL resolved config,
-# so a file trained with this config carries its feature switches
-# explicitly and never depends on future DEFAULT_CONFIG values.
-TRAIN_CONFIG = dict(DEFAULT_CONFIG, snr_bands=32, floor_feat=True)
+# tracker features + cepstral harmonicity features enabled. save_params
+# persists the FULL resolved config, so a file trained with this config
+# carries its feature switches explicitly and never depends on future
+# DEFAULT_CONFIG values.
+TRAIN_CONFIG = dict(DEFAULT_CONFIG, snr_bands=32, floor_feat=True,
+                    cep_feats=8)
 
 
 def expected_enc_in(cfg: Dict[str, Any]) -> int:
     """Encoder fan-in implied by a config's feature switches."""
     nb = cfg.get("snr_bands") or 0
-    return cfg["bins"] + nb * (2 if cfg.get("floor_feat") else 1)
+    return (cfg["bins"] + nb * (2 if cfg.get("floor_feat") else 1)
+            + (cfg.get("cep_feats") or 0))
 
 
 def normalize_config(config: Dict[str, Any], params=None) -> Dict[str, Any]:
@@ -124,8 +140,10 @@ def normalize_config(config: Dict[str, Any], params=None) -> Dict[str, Any]:
     if enc_in == expected_enc_in(cfg):
         return cfg
     bins = cfg["bins"]
-    for snr_bands, floor_feat in ((0, False), (32, False), (32, True)):
-        trial = dict(cfg, snr_bands=snr_bands, floor_feat=floor_feat)
+    for snr_bands, floor_feat, cep in ((0, False, 0), (32, False, 0),
+                                       (32, True, 0), (32, True, 8)):
+        trial = dict(cfg, snr_bands=snr_bands, floor_feat=floor_feat,
+                     cep_feats=cep)
         if enc_in == expected_enc_in(trial):
             return trial
     raise ValueError(
@@ -203,8 +221,7 @@ def init_params(key, config: Dict[str, Any] = None) -> Dict[str, Any]:
             "bh": jnp.zeros((3 * dim,), jnp.float32),
         }
 
-    nb_feats = (cfg.get("snr_bands") or 0) * (2 if cfg.get("floor_feat") else 1)
-    enc_in = bins + nb_feats
+    enc_in = expected_enc_in(cfg)
     params = {
         "enc": dense(keys[0], enc_in, h),
         "gru": [gru(keys[2 + 2 * i], keys[3 + 2 * i], h) for i in range(layers)],
@@ -244,6 +261,41 @@ def _band_matrix_np(bins: int, nb: int):
         lo, hi = int(edges[j]), int(edges[j + 1])
         m[lo:hi, j] = 1.0 / max(hi - lo, 1)
     return m
+
+
+@functools.lru_cache(maxsize=8)
+def _cep_matrix_np(bins: int, nb: int):
+    """([bins, n_lags] IDFT-of-log-spectrum basis, [n_lags, nb] group-max
+    assignment edges) for pitch lags 40..200 samples (F0 80..400 Hz).
+
+    The analysis frame is 512 samples, so the real cepstrum at lag q is
+    c[q] = (1/512) sum_j L_j cos(2*pi*j*q/512) over the symmetric log
+    spectrum L — expressed over the one-sided bins k=0..256 with weight 2
+    for interior bins. Rows are mean-free in L for q>0, so the features
+    are invariant to broadband gain."""
+    lags = np.arange(40, 201)
+    k = np.arange(bins)[:, None].astype(np.float64)
+    w = np.full((bins, 1), 2.0 / 512.0)
+    w[0] = w[-1] = 1.0 / 512.0
+    basis = (w * np.cos(2.0 * np.pi * k * lags[None, :] / 512.0)).astype(np.float32)
+    edges = np.round(40.0 * (200.0 / 40.0) ** (np.arange(nb + 1) / nb)
+                     ).astype(np.int64)
+    bounds = tuple((int(edges[g] - 40), int(edges[g + 1] - 40 + 1))
+                   for g in range(nb))      # contiguous lag-index slices
+    return basis, bounds
+
+
+def cep_features(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarray:
+    """Spectrum [*, K] -> cepstral-peak harmonicity features [*, cep_feats]:
+    max of the real cepstrum within each of ``cep_feats`` log-spaced pitch
+    lag groups (see DEFAULT_CONFIG['cep_feats'] rationale)."""
+    nb = cfg["cep_feats"]
+    basis, bounds = _cep_matrix_np(cfg["bins"], nb)
+    logmag = 0.5 * jnp.log(re * re + im * im + cfg["feat_eps"] ** 2)
+    c = jnp.matmul(logmag, jnp.asarray(basis))            # [*, n_lags]
+    gmax = jnp.stack([jnp.max(c[..., lo:hi], axis=-1) for lo, hi in bounds],
+                     axis=-1)                             # [*, nb]
+    return jnp.clip(gmax * cfg["cep_scale"], -1.0, 4.0)
 
 
 def band_log_energy(re: jnp.ndarray, im: jnp.ndarray, cfg: Dict[str, Any]) -> jnp.ndarray:
@@ -317,6 +369,8 @@ def step(params, state, re, im, config: Dict[str, Any] = None):
         hstate = state["h"]
     else:
         hstate = state
+    if cfg.get("cep_feats"):
+        x = jnp.concatenate([x, cep_features(re, im, cfg)], axis=-1)
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])
     new_states = []
     for i, layer in enumerate(params["gru"]):
@@ -355,6 +409,10 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
         snr = _snr_features(lb_t, floors, cfg)
         x = jnp.concatenate([x, jnp.moveaxis(snr, 0, t_ax)], axis=-1)
         state = state["h"]
+    if cfg.get("cep_feats"):
+        # Frame-local, so it stays hoisted out of the scan like the rest of
+        # the feature/encoder pipeline.
+        x = jnp.concatenate([x, cep_features(re, im, cfg)], axis=-1)
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])  # [*, T, H]
 
     if _pallas_enabled(cfg, x):
