@@ -35,7 +35,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     which bloats the executable by the tape size (hundreds of MB for a real
     corpus) and breaks remote-compile payload limits."""
     seg = segment
-    ks = jax.random.split(key, 11)
+    ks = jax.random.split(key, 12)
 
     def crops(tape, k, shape):
         starts = jax.random.randint(k, shape, 0, tape.shape[0] - seg + 1)
@@ -207,7 +207,41 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
                       jnp.where(c2, s_floored,
                                 jnp.where(c3, beta_n * n_only,
                                           s_mix + beta * n_mix * scale)))
-    return noisy, clean
+
+    # Channel augmentation (pseudo-real invariance, VERDICT r4 #6): random
+    # spectral tilt and slow level modulation applied IDENTICALLY to input
+    # and target — a channel is something to pass through, not undo.
+    # Measured failure this fixes: the r4 bundled model suppressed
+    # +3 dB/oct-tilted reference speech by up to 0.17 RMS and failed the
+    # +-6 dB slow-fade case at 0.039 (tests/test_parity.py pseudo_real) —
+    # the synthetic corpus had a single fixed channel, so "unusually
+    # bright/fading speech" read as noise.
+    kt1, kt2, kt3, kt4, kt5, kt6 = jax.random.split(ks[11], 6)
+    fg_t = jnp.clip(fg, 30.0, 8000.0)
+    slope_oct = jax.random.uniform(kt1, (batch, 1), minval=-3.0, maxval=3.0)
+    tilt_gain = 10.0 ** (slope_oct * jnp.log2(fg_t / 1000.0) / 20.0)
+    use_tilt = jax.random.uniform(kt2, (batch, 1)) < 0.5
+    tilt_gain = jnp.where(use_tilt, tilt_gain, 1.0)
+    noisy = jnp.fft.irfft(jnp.fft.rfft(noisy, axis=-1) * tilt_gain,
+                          n=seg, axis=-1)
+    clean = jnp.fft.irfft(jnp.fft.rfft(clean, axis=-1) * tilt_gain,
+                          n=seg, axis=-1)
+
+    tgrid = (jnp.arange(seg) / 16000.0)[None, :]
+    rate = jax.random.uniform(kt3, (batch, 1), minval=0.15, maxval=0.7)
+    phase = jax.random.uniform(kt4, (batch, 1), minval=0.0,
+                               maxval=2.0 * jnp.pi)
+    depth = jax.random.uniform(kt5, (batch, 1), minval=2.0, maxval=6.0)
+    lm = 10.0 ** (depth * jnp.sin(2.0 * jnp.pi * rate * tgrid + phase) / 20.0)
+    use_lm = jax.random.uniform(kt6, (batch, 1)) < 0.3
+    lm = jnp.where(use_lm, lm, 1.0)
+    noisy = noisy * lm
+    clean = clean * lm
+
+    # Tilt/fade can push peaks past fullscale; rescale both together.
+    g_peak = jnp.max(jnp.abs(noisy), axis=1, keepdims=True)
+    g_scale = jnp.minimum(1.0, 0.98 / jnp.maximum(g_peak, eps))
+    return noisy * g_scale, clean * g_scale
 
 
 class DeviceSampler:

@@ -86,16 +86,22 @@ def evaluate(params, config: Dict[str, Any], speech: np.ndarray,
     out_mixed = _stream_enhance(engine, params, mixed)
 
     n = len(out_mixed) - DELAY_SAMPLE
+    from .fwsnrseg import fwsnrseg
+
     results = {
         "dev_pure_speech": rms_case(out_speech, speech),
         "dev_pure_noise": rms_case(out_noise, None),
         "dev_mixed": rms_case(out_mixed, speech),
         "si_sdr_mixed_db": si_sdr(out_mixed[DELAY_SAMPLE:], speech[:n]),
         "si_sdr_input_db": si_sdr(mixed[:n], speech[:n]),
-        # Intelligibility metric (BASELINE.json "SI-SDR/PESQ parity"; STOI
-        # is the open stand-in for PESQ — see train/stoi.py).
+        # Quality metrics (BASELINE.json "SI-SDR/PESQ parity"): STOI covers
+        # intelligibility, fwSNRseg is the documented PESQ correlate — see
+        # train/stoi.py, train/fwsnrseg.py and
+        # resources/reports/QUALITY_METRICS.md.
         "stoi_mixed": stoi(speech[:n], out_mixed[DELAY_SAMPLE:]),
         "stoi_input": stoi(speech[:n], mixed[:n]),
+        "fwsnrseg_mixed": fwsnrseg(speech[:n], out_mixed[DELAY_SAMPLE:]),
+        "fwsnrseg_input": fwsnrseg(speech[:n], mixed[:n]),
     }
     results["si_sdr_gain_db"] = results["si_sdr_mixed_db"] - results["si_sdr_input_db"]
     return results

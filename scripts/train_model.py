@@ -73,14 +73,6 @@ def eval_all(params, cfg):
         sets["dev_heldout%s:%s" % (tag, kind)] = (
             os.path.join(OWN_SAMPLES, "speech_dev%s.wav" % tag),
             os.path.join(OWN_SAMPLES, "noise_dev%s.wav" % tag))
-    def _resample(x, factor):
-        """Linear-interp resample by ``factor`` (pitch/formant shift — a
-        cheap 'different speaker' transform for pseudo-real eval cases)."""
-        n = int(len(x) / factor)
-        idx = np.arange(n) * factor
-        return np.interp(idx, np.arange(len(x)),
-                         x.astype(np.float64)).astype(np.int16)
-
     cpu = jax.devices("cpu")[0]
     all_results = {}
     loaded = {}
@@ -89,16 +81,16 @@ def eval_all(params, cfg):
             print("[skip %s: fixtures missing]" % name)
             continue
         loaded[name] = (read_wav(sp), read_wav(no))
-    # Pseudo-real variants of the ONLY real recording available (VERDICT r3
-    # missing #4): gain-shifted and resampled versions of the reference
-    # pair. A model that truly passes real speech must be invariant to
-    # recording level and to moderate pitch/formant shifts.
+    # Pseudo-real invariance battery over the ONLY real recording available
+    # (VERDICT r3 missing #4, r4 #6): gain/resample/reverb/tilt/mu-law/
+    # level-modulation variants of the reference pair — see
+    # koala_tpu/train/pseudo_real.py.
     if "reference" in loaded:
+        from koala_tpu.train.pseudo_real import variants
+
         sp, no = loaded["reference"]
-        loaded["reference_-6dB"] = ((sp // 2).astype(np.int16),
-                                    (no // 2).astype(np.int16))
-        loaded["reference_rs0.9"] = (_resample(sp, 0.9), _resample(no, 0.9))
-        loaded["reference_rs1.1"] = (_resample(sp, 1.1), _resample(no, 1.1))
+        for case, pair in variants(sp, no).items():
+            loaded["reference_%s" % case] = pair
     for name, (sp_pcm, no_pcm) in loaded.items():
         with jax.default_device(cpu):
             res = evaluate(params, cfg, sp_pcm, no_pcm)

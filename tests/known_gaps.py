@@ -27,6 +27,17 @@ KNOWN_GAPS = {
     ("dev_heldout5:babble", "si_sdr_gain"): 1.52,
     ("dev_heldout6:impulsive", "parity"): 0.0262,
     ("dev_heldout7:rumble", "parity"): 0.0205,
+    # Round-5 pseudo-real battery expansion (reverb/tilt/mu-law/level-mod;
+    # VERDICT r4 #6): reverb and mu-law pass outright; the r4 bundle fails
+    # the spectral-tilt and slow-fade channels (it never saw a non-default
+    # channel in training — the device sampler now augments with random
+    # tilt/level-modulation, so these are expected to close at the next
+    # promotion).
+    ("reference_tilt+3", "parity"): 0.1736,
+    ("reference_tilt+3", "si_sdr_gain"): 2.98,
+    ("reference_tilt-3", "parity"): 0.1905,
+    ("reference_tilt-3", "stoi"): 0.0212,
+    ("reference_levelmod", "parity"): 0.0387,
 }
 
 # kind-name view for the battery-parameterized tests in test_parity.py:

@@ -89,11 +89,12 @@ def _ledger_gate(kind, check, passed, value, detail):
     - gate fails, in the ledger, metric WORSE than the bound -> hard
       failure (ADVICE r4: a bare xfail let ledgered metrics regress
       arbitrarily with no signal)."""
-    from known_gaps import BATTERY_GAPS, regression_bound
+    from known_gaps import BATTERY_GAPS, KNOWN_GAPS, regression_bound
 
     if passed:
         return
-    recorded = BATTERY_GAPS.get((kind, check))
+    recorded = BATTERY_GAPS.get((kind, check),
+                                KNOWN_GAPS.get((kind, check)))
     if recorded is None:
         raise AssertionError("battery gate failed (not in the known-gaps "
                              "ledger): %s %s = %.4f; %r"
@@ -138,36 +139,32 @@ def test_heldout_stoi_no_regression(heldout_battery, kind):
                  r["stoi_input"] - r["stoi_mixed"], r)
 
 
+PSEUDO_REAL_CASES = ["-6dB", "rs0.9", "rs1.1", "reverb", "tilt+3", "tilt-3",
+                     "mulaw", "levelmod"]
+
+
 @pytest.fixture(scope="module")
 def pseudo_real(trained_model, speech_pcm, noise_pcm):
-    """Pseudo-real variants of the only real recording available: gain-
-    shifted and resampled versions of the reference pair (VERDICT r3
-    missing #4). Passing real speech must be invariant to recording level
-    and to moderate pitch/formant shifts."""
+    """Pseudo-real invariance battery over the only real recording
+    available (VERDICT r3 missing #4, r4 #6): gain, resample, reverb,
+    spectral tilt, mu-law codec, and slow level modulation variants of the
+    reference pair — the transforms a robust enhancer must be invariant to
+    (koala_tpu/train/pseudo_real.py). All run the full parity harness at
+    the reference 0.02 tolerance."""
+    from koala_tpu.train.pseudo_real import variants
+
     params, cfg = params_io.load_params(trained_model)
-    speech = np.asarray(speech_pcm)
-    noise = np.asarray(noise_pcm)
-
-    def resample(x, factor):
-        n = int(len(x) / factor)
-        idx = np.arange(n) * factor
-        return np.interp(idx, np.arange(len(x)),
-                         x.astype(np.float64)).astype(np.int16)
-
-    cases = {
-        "-6dB": ((speech // 2).astype(np.int16), (noise // 2).astype(np.int16)),
-        "rs0.9": (resample(speech, 0.9), resample(noise, 0.9)),
-        "rs1.1": (resample(speech, 1.1), resample(noise, 1.1)),
-    }
+    cases = variants(np.asarray(speech_pcm), np.asarray(noise_pcm))
     return {k: evaluate(params, cfg, s, n) for k, (s, n) in cases.items()}
 
 
-@pytest.mark.parametrize("case", ["-6dB", "rs0.9", "rs1.1"])
+@pytest.mark.parametrize("case", PSEUDO_REAL_CASES)
 def test_pseudo_real_energy_parity(pseudo_real, case):
     r = pseudo_real[case]
-    assert r["dev_pure_speech"] < 0.02, (case, r)
-    assert r["dev_pure_noise"] < 0.02, (case, r)
-    assert r["dev_mixed"] < 0.02, (case, r)
+    worst = max(r["dev_pure_speech"], r["dev_pure_noise"], r["dev_mixed"])
+    # set naming matches eval_all/check_gates ("reference_<case>") so one
+    # ledger entry covers both the test and the CI model-gate
+    _ledger_gate("reference_%s" % case, "parity", worst < 0.02, worst, r)
 
 
 def test_streaming_api_matches_harness(trained_model, speech_pcm, access_key):
