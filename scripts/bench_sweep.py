@@ -19,8 +19,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# TPU v5e (lite) peak numbers for the roofline.
-PEAK_BF16_FLOPS = 197e12 / 2     # ~98.5 TFLOP/s dense bf16
+# TPU v5e (lite) peak numbers for the roofline. bf16 MXU peak is 197
+# TFLOP/s per chip (the public v5e spec); the r4 report divided this by 2
+# (a misremembered "bf16 double-rate" halving), which produced the
+# impossible mxu_fraction=1.22 (VERDICT r4 weak #3 / #4).
+PEAK_BF16_FLOPS = 197e12         # dense bf16 MXU peak
 PEAK_HBM_BPS = 819e9             # ~819 GB/s
 
 
@@ -107,6 +110,68 @@ def main():
         "note": ("mxu_fraction = fraction of MXU peak the kernel achieves; "
                  "the binding resource is whichever bound is larger."),
     }
+
+    # -- 1b. non-kernel component split (VERDICT r4 #3: 65% of engine time
+    # was outside the fused kernel; find out what it is). Each variant times
+    # the full sequence path with one component ablated/isolated.
+    import jax as _jax
+
+    comp = {}
+
+    # (a) floor-tracker scan cost: same model with snr_bands=0 (drops the
+    # sequential lax.scan over T AND the tracker features).
+    if config.get("snr_bands"):
+        bins = config.get("bins", 257)
+        # slice the encoder down to the log-magnitude rows only (tracker and
+        # cep feature rows dropped) — the ablated model is numerically
+        # different but structurally identical, which is all timing needs
+        p_nofloor = dict(params, enc={"w": params["enc"]["w"][:bins],
+                                      "b": params["enc"]["b"]})
+        cfg_nf2 = dict(config, snr_bands=0, floor_feat=False, cep_feats=0)
+        eng_nf = make_engine("mask_gru", cfg_nf2)
+        st_nf = jax.device_put(eng_nf.init_state((B,)), dev)
+        hold_nf = {"state": st_nf}
+
+        def run_nofloor():
+            hold_nf["state"], out = eng_nf.sequence_jit(
+                p_nofloor, hold_nf["state"], hops)
+            holder["out"] = out
+
+        comp["no_tracker_ms"] = round(timed(run_nofloor, sync) * 1e3, 3)
+
+    # (b) STFT+iSTFT alone at the same shape.
+    from koala_tpu.ops import stft as stft_ops
+
+    frames = 0.1 * jax.random.normal(key, (B, T, 512), jnp.float32)
+    frames = jax.device_put(frames, dev)
+
+    @_jax.jit
+    def stft_istft(fr):
+        re, im = stft_ops.stft_frame(fr)
+        return stft_ops.istft_frame(re, im)
+
+    def run_stft():
+        holder["out"] = stft_istft(frames)
+
+    comp["stft_istft_ms"] = round(timed(run_stft, sync) * 1e3, 3)
+
+    # (c) lax.scan floor recurrence alone (the suspected serial bottleneck).
+    nb = config.get("snr_bands") or 32
+    lb = jax.device_put(jax.random.normal(key, (T, B, nb), jnp.float32), dev)
+
+    @_jax.jit
+    def floor_scan(lb_t):
+        def f(fl, x):
+            fl2 = jnp.minimum(fl + 0.012, x)
+            return fl2, fl2
+
+        return _jax.lax.scan(f, jnp.full((B, nb), 30.0), lb_t)[1]
+
+    def run_floor():
+        holder["out"] = floor_scan(lb)
+
+    comp["floor_scan_ms"] = round(timed(run_floor, sync) * 1e3, 3)
+    report["components"] = comp
 
     # -- 2. (batch, chunk) sweep ------------------------------------------
     sweep = []
