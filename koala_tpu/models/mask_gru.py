@@ -168,6 +168,16 @@ def _warn_fallback(reason: str, cfg) -> bool:
     return False
 
 
+def _pallas_backend_ok(cfg) -> bool:
+    """Backend-level gate shared by the fused kernels (GRU + floor scan):
+    Pallas engages on accelerator backends unless the config disables it."""
+    if cfg.get("use_pallas") in (False, None):
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() not in ("cpu",)
+
+
 def _pallas_enabled(cfg, x) -> bool:
     if cfg.get("use_pallas") in (False, None):
         return False
@@ -393,19 +403,27 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
     nb = cfg.get("snr_bands") or 0
     x = features(re, im, cfg)                                   # [*, T, K]
     if nb:
-        # Floor tracking is a cheap elementwise recurrence over [*, nb]; it
-        # runs as its own lax.scan (sequential min/add, bit-identical to the
-        # step path and exactly chunkable) while all heavy matmuls stay
-        # hoisted out of the scan.
+        # Floor tracking is a cheap elementwise recurrence over [*, nb] but
+        # strictly sequential over T. On TPU it runs as ONE fused Pallas
+        # kernel (ops/pallas/floor.py — same op order, bit-identical to the
+        # step path and exactly chunkable, differentiable via custom_vjp);
+        # elsewhere as a lax.scan. All heavy matmuls stay hoisted out.
         lb = band_log_energy(re, im, cfg)                       # [*, T, nb]
         t_ax = lb.ndim - 2
         lb_t = jnp.moveaxis(lb, t_ax, 0)                        # [T, *, nb]
 
-        def floor_scan(fl, lb_step):
-            fl2 = _floor_update(fl, lb_step, cfg)
-            return fl2, fl2
+        if _pallas_backend_ok(cfg) and lb_t.ndim == 3 and lb_t.shape[1] >= 8:
+            from ..ops.pallas.floor import floor_scan_trainable
 
-        floor_final, floors = jax.lax.scan(floor_scan, state["floor"], lb_t)
+            floor_final, floors = floor_scan_trainable(
+                state["floor"], lb_t, float(cfg["floor_rise"]))
+        else:
+            def floor_scan(fl, lb_step):
+                fl2 = _floor_update(fl, lb_step, cfg)
+                return fl2, fl2
+
+            floor_final, floors = jax.lax.scan(
+                floor_scan, state["floor"], lb_t)
         snr = _snr_features(lb_t, floors, cfg)
         x = jnp.concatenate([x, jnp.moveaxis(snr, 0, t_ax)], axis=-1)
         state = state["h"]
