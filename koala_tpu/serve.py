@@ -79,7 +79,8 @@ class StreamingServer:
             capacity_frames: int = 256,
             out_capacity_frames: Optional[int] = None,
             poll_interval_s: float = 0.002,
-            chunk_frames: int = 32):
+            chunk_frames: int = 32,
+            pipeline_depth: int = 3):
         validate_access_key(access_key)
         quota = max_streams_quota()
         if quota and num_streams > quota:
@@ -136,9 +137,22 @@ class StreamingServer:
 
         self._reset_jit = jax.jit(_reset_fn, donate_argnums=(0,))
 
+        # Dispatch/route pipeline: the dispatch thread issues device steps
+        # asynchronously and hands (out, counts, gen) to the router thread,
+        # which blocks on the device fetch and routes into the output rings.
+        # A bounded queue caps the number of in-flight device steps, so
+        # throughput is device/compute-limited instead of being serialized
+        # on one dispatch round-trip per routed batch (the RTT to a
+        # tunneled/remote device would otherwise be the ceiling).
+        import queue as _queue
+
+        self._route_q: "_queue.Queue" = _queue.Queue(
+            maxsize=max(1, pipeline_depth))
         self._running = True
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._router = threading.Thread(target=self._route_loop, daemon=True)
         self._thread.start()
+        self._router.start()
 
     @staticmethod
     def _resolve_device_list(dev0, devices, num_streams):
@@ -222,8 +236,40 @@ class StreamingServer:
 
     # -- dispatch thread ---------------------------------------------------
 
+    def _route_loop(self) -> None:
+        """Router thread: blocks on each in-flight device step's output and
+        routes it into the native output rings (one batched f32 push per
+        shard). Runs concurrently with the dispatch thread, which keeps
+        issuing device steps — so fetch latency (tunnel/PCIe RTT) overlaps
+        compute instead of serializing the pipeline."""
+        while True:
+            item = self._route_q.get()
+            if item is None:                       # close() sentinel
+                return
+            self._route(*item)
+
+    def _route(self, outs_dev, counts, gen) -> None:
+        # np.asarray blocks until each shard's device step has finished.
+        outs_np = [np.asarray(o, np.float32) for o in outs_dev]
+        n = 0
+        with self._out_lock:
+            # Re-check generations INSIDE _out_lock: a concurrent reset()
+            # bumps the generation before clearing the ring, so either we
+            # see the bump here (skip), or our append completes before its
+            # clear runs (stale frames removed).
+            with self._reset_lock:
+                cur_gen = self._reset_gen.copy()
+            valid = counts.copy()
+            valid[cur_gen != gen] = 0
+            for shard, out_np in zip(self._shards, outs_np):
+                n += self._out_pool.push_rows_f32(
+                    out_np, valid[shard.lo:shard.hi],
+                    first_stream=shard.lo)
+        self._frames_processed += n
+        self._steps += 1
+
     def _dispatch_loop(self) -> None:
-        """Device dispatch with backlog amortization + pipelined routing.
+        """Device dispatch with backlog amortization + a routed pipeline.
 
         Two compiled paths share the streaming state:
         - no backlog (every stream has <= 1 ready frame): single-frame
@@ -232,37 +278,14 @@ class StreamingServer:
           ONE chunked device step per shard (a lax.scan of the same masked
           step, so results are bit-identical to k single steps) — one
           dispatch round-trip covers k frames per stream instead of one.
-          This is what lets throughput exceed 1/dispatch-latency: at RTT
-          ~= r and chunk k, sustained rate ~= B*k*16ms/r.
 
-        Output routing is DEFERRED one iteration: the np.asarray() fetch of
-        step N's output happens after step N+1 has been dispatched, so the
-        host-side fetch/route overlaps the in-flight device steps. With
-        multiple shards, all device steps of a round are dispatched
-        back-to-back before any fetch — the devices run concurrently.
+        Dispatches are handed to the router thread through a bounded queue
+        (``pipeline_depth`` in-flight device steps): the put() blocks only
+        when the device is genuinely behind, and the state-dependency chain
+        (donated state N feeds step N+1) keeps results exact regardless of
+        depth. With multiple shards, each round's device steps are issued
+        back-to-back — the devices run concurrently.
         """
-        inflight = None   # (list of device out arrays, counts [B], gen [B])
-
-        def route(outs_dev, counts, gen):
-            # np.asarray blocks until each shard's device step finishes.
-            outs_np = [np.asarray(o, np.float32) for o in outs_dev]
-            n = 0
-            with self._out_lock:
-                # Re-check generations INSIDE _out_lock: a concurrent
-                # reset() bumps the generation before clearing the ring,
-                # so either we see the bump here (skip), or our append
-                # completes before its clear (stale frames removed).
-                with self._reset_lock:
-                    cur_gen = self._reset_gen.copy()
-                valid = counts.copy()
-                valid[cur_gen != gen] = 0
-                for shard, out_np in zip(self._shards, outs_np):
-                    n += self._out_pool.push_rows_f32(
-                        out_np, valid[shard.lo:shard.hi],
-                        first_stream=shard.lo)
-            self._frames_processed += n
-            self._steps += 1
-
         while self._running:
             with self._reset_lock:
                 pending = self._reset_pending.copy()
@@ -293,11 +316,7 @@ class StreamingServer:
                 counts[late] = 0
                 total = int(counts.sum())
             if total == 0:
-                if inflight is not None:
-                    route(*inflight)
-                    inflight = None
-                else:
-                    time.sleep(self._poll)
+                time.sleep(self._poll)
                 continue
 
             outs = []
@@ -317,13 +336,7 @@ class StreamingServer:
                         hops_all[shard.lo:shard.hi],
                         counts[shard.lo:shard.hi])
                     outs.append(out)
-            this = (outs, counts, gen_snapshot)
-            if inflight is not None:
-                route(*inflight)
-            inflight = this
-        # Drain: close() must not silently drop the final in-flight output.
-        if inflight is not None:
-            route(*inflight)
+            self._route_q.put((outs, counts, gen_snapshot))
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -350,6 +363,11 @@ class StreamingServer:
         self._running = False
         if self._thread.is_alive():
             self._thread.join(timeout=5.0)
+        # Drain: the router routes every queued in-flight step, then stops
+        # at the sentinel — close() never drops enhanced audio.
+        self._route_q.put(None)
+        if self._router.is_alive():
+            self._router.join(timeout=10.0)
         self._pool.close()
         # The output pool stays alive: clients may still pull enhanced audio
         # that close() just drained from the final in-flight step (it is
