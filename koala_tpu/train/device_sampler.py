@@ -49,16 +49,18 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     s = s * gain
 
     n = crops(noise_tape, ks[2], (batch,))
-    # Babble: up to 8 overlapped talkers with squared-uniform gains (some
-    # near zero), matching the variable talker-count/gain structure of
-    # synth_babble — equal-weight 4-talker mixes alone taught the model a
-    # too-narrow notion of babble (dev5 showed near-full passthrough).
-    # 40% of draws raise the gain exponent to 6: babble dominated by 1-2
-    # talkers — the hardest, most speech-like case (a background
-    # conversation), which dense 8-talker mixes never produce.
+    # Babble: up to 8 overlapped talkers across three gain structures —
+    # 40% sparse (u^6: 1-2 dominant talkers, a background conversation, the
+    # most speech-like case), 30% spread (u^2), 30% DENSE (u^0.3 ~ all
+    # talkers near-equal, the crowd-murmur structure the dev5 battery
+    # fixture has: synth_babble draws 6 talkers at U[0.5,1]). Equal-weight
+    # mixes alone taught a too-narrow notion of babble in round 2; round 4
+    # showed the opposite hole — dense near-equal babble was the worst
+    # residual-suppression gap in the battery.
     k8a, k8b = jax.random.split(ks[8])
-    sparse = jax.random.uniform(k8b, (batch, 1, 1)) < 0.4
-    bg = jax.random.uniform(k8a, (batch, 8, 1)) ** jnp.where(sparse, 6.0, 2.0)
+    mode = jax.random.uniform(k8b, (batch, 1, 1))
+    expo = jnp.where(mode < 0.4, 6.0, jnp.where(mode < 0.7, 2.0, 0.3))
+    bg = jax.random.uniform(k8a, (batch, 8, 1)) ** expo
     talkers = crops(speech_tape, ks[3], (batch, 8))
     babble = (jnp.sum(talkers * bg, axis=1)
               / jnp.sqrt(jnp.sum(bg * bg, axis=1) + 1e-6))

@@ -173,6 +173,31 @@ def main():
     comp["floor_scan_ms"] = round(timed(run_floor, sync) * 1e3, 3)
     report["components"] = comp
 
+    # -- 1c. HLO census of the compiled sequence program (VERDICT r4 weak
+    # #2: look for layout/transpose waste). Counts the ops that move bytes
+    # without computing (transpose/copy/reshape materializations).
+    import re as _re
+
+    lowered = jax.jit(engine.sequence).lower(params, state0, hops)
+    hlo_text = lowered.compile().as_text()
+    census = {}
+    for opname in ("transpose", "copy", "convert", "fusion", "dot",
+                   "custom-call", "dynamic-update-slice", "while"):
+        census[opname] = len(_re.findall(r"^\s*\S+ = \S* %s" % opname,
+                                         hlo_text, _re.M))
+    # bytes moved by explicit transposes (shape like f32[512,376,384]{...})
+    t_bytes = 0
+    for m in _re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* transpose", hlo_text):
+        dtype, dims = m.group(1), m.group(2)
+        if not dims:
+            continue
+        n = int(np.prod([int(d) for d in dims.split(",")]))
+        t_bytes += n * {"f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                        "pred": 1}.get(dtype, 4)
+    census["transpose_bytes_mb"] = round(t_bytes / 1e6, 1)
+    report["hlo_census"] = census
+    print("hlo census:", census, flush=True)
+
     # -- 2. (batch, chunk) sweep ------------------------------------------
     sweep = []
     for b in (256, 512):
