@@ -155,8 +155,31 @@ class StreamingServer:
                                        counts)
             return st, float_to_pcm(out)
 
+        # Full-chunk fast path: when every active stream has a FULL chunk
+        # of backlog (the steady throughput state), the whole chunk runs
+        # through the hoisted SEQUENCE engine (batched feature/encoder/
+        # decoder matmuls + the fused Pallas GRU kernel) instead of the
+        # per-frame chunk_masked lax.scan — several times less device time
+        # per frame. Streams with no frames keep their state via a masked
+        # commit (identical to k masked steps with all-or-nothing counts:
+        # sequence ≡ folded steps is the engine's core invariant).
+        import jax.numpy as _jnp
+
+        def _seq_i16(params, state, hops_i16, active):
+            new_state, out = eng.sequence(params, state,
+                                          pcm_to_float(hops_i16))
+
+            def sel(new, old):
+                m = active.reshape(active.shape +
+                                   (1,) * (new.ndim - active.ndim))
+                return _jnp.where(m, new, old)
+
+            committed = jax.tree_util.tree_map(sel, new_state, state)
+            return committed, float_to_pcm(out)
+
         self._step_i16_jit = jax.jit(_step_i16, donate_argnums=(1,))
         self._chunk_i16_jit = jax.jit(_chunk_i16, donate_argnums=(1,))
+        self._seq_i16_jit = jax.jit(_seq_i16, donate_argnums=(1,))
 
         # Dispatch/route pipeline: the dispatch thread issues device steps
         # asynchronously and hands (out, counts, gen) to the router thread,
@@ -352,11 +375,22 @@ class StreamingServer:
                     outs.append(out)
             else:
                 hops_all = batch.copy()               # private int16 upload
+                # all-or-nothing full chunks -> hoisted sequence fast path
+                # (k is pinned to chunk_frames so there is ONE compiled
+                # shape; partial-count rounds take the masked scan)
+                full_seq = (counts.max() == self._chunk_frames
+                            and bool(np.all((counts == 0) |
+                                            (counts == self._chunk_frames))))
                 for shard in self._shards:
-                    shard.state, out = self._chunk_i16_jit(
-                        shard.params, shard.state,
-                        hops_all[shard.lo:shard.hi],
-                        counts[shard.lo:shard.hi])
+                    c = counts[shard.lo:shard.hi]
+                    if full_seq:
+                        shard.state, out = self._seq_i16_jit(
+                            shard.params, shard.state,
+                            hops_all[shard.lo:shard.hi], c.astype(bool))
+                    else:
+                        shard.state, out = self._chunk_i16_jit(
+                            shard.params, shard.state,
+                            hops_all[shard.lo:shard.hi], c)
                     outs.append(out)
             self._route_q.put((outs, counts, gen_snapshot))
 
