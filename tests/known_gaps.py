@@ -35,6 +35,7 @@ KNOWN_GAPS = {
     # promotion).
     ("reference_tilt+3", "parity"): 0.1736,
     ("reference_tilt+3", "si_sdr_gain"): 2.98,
+    ("reference_tilt+3", "stoi"): 0.0182,
     ("reference_tilt-3", "parity"): 0.1905,
     ("reference_tilt-3", "stoi"): 0.0212,
     ("reference_levelmod", "parity"): 0.0387,
