@@ -14,6 +14,7 @@ the noise tape by the caller (see scripts/train_model.py).
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -23,6 +24,10 @@ P_SILENCE = 0.05
 P_SPEECH_ONLY = 0.25   # generous: the acceptance harness's hardest case is
 P_NOISE_ONLY = 0.18    # perfect pass-through of clean speech
 P_BABBLE = 0.30        # babble is the hardest pure-noise case (speech-like)
+# Channel-augmentation application rates (training-recipe experiment knobs;
+# env-overridable so sweeps don't need code edits).
+P_TILT = float(os.environ.get("KOALA_AUG_TILT_P", "0.5"))
+P_LEVELMOD = float(os.environ.get("KOALA_AUG_LEVELMOD_P", "0.3"))
 
 
 def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
@@ -222,7 +227,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     fg_t = jnp.clip(fg, 30.0, 8000.0)
     slope_oct = jax.random.uniform(kt1, (batch, 1), minval=-3.0, maxval=3.0)
     tilt_gain = 10.0 ** (slope_oct * jnp.log2(fg_t / 1000.0) / 20.0)
-    use_tilt = jax.random.uniform(kt2, (batch, 1)) < 0.5
+    use_tilt = jax.random.uniform(kt2, (batch, 1)) < P_TILT
     tilt_gain = jnp.where(use_tilt, tilt_gain, 1.0)
     noisy = jnp.fft.irfft(jnp.fft.rfft(noisy, axis=-1) * tilt_gain,
                           n=seg, axis=-1)
@@ -235,7 +240,7 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
                                maxval=2.0 * jnp.pi)
     depth = jax.random.uniform(kt5, (batch, 1), minval=2.0, maxval=6.0)
     lm = 10.0 ** (depth * jnp.sin(2.0 * jnp.pi * rate * tgrid + phase) / 20.0)
-    use_lm = jax.random.uniform(kt6, (batch, 1)) < 0.3
+    use_lm = jax.random.uniform(kt6, (batch, 1)) < P_LEVELMOD
     lm = jnp.where(use_lm, lm, 1.0)
     noisy = noisy * lm
     clean = clean * lm
