@@ -6,39 +6,37 @@ xfails exactly these (strict=False: they flip to XPASS→green the moment a
 better model lands), and the CI model-gate accepts them only when invoked
 with --allow-known-gaps. Everything NOT listed here is enforced.
 
-Context (round 4): the bundled model passes the COMPLETE reference bar —
+Context (round 5): the bundled model passes the COMPLETE reference bar —
 all three RMS harness cases at 0.02 on the reference fixtures (worst
-frame 0.0080), SI-SDR +4.6 dB on the mix, STOI 0.917→0.912 (no
-regression) — plus ALL THREE pseudo-real variants (-6 dB, 0.9x/1.1x
-resample) and the am/colored/tonal battery kinds outright (band fails
-only its SI-SDR-gain floor, not parity). The entries below are
-residual-suppression gaps on the hardest synthetic battery kinds
-(speech-like babble, clicks in speech gaps, LF rumble at the tolerance
-boundary) measured against OUR OWN extended gates, which are stricter
-than anything the reference tests.
+frame 0.0154), SI-SDR +4.6 dB on the mix, no STOI regression — plus FIVE
+of the eight pseudo-real invariance cases outright (-6 dB, 0.9x/1.1x
+resample, reverb, mu-law, slow level-modulation — the round-4 model
+failed levelmod at 0.039 and the tilt cases at 0.17/0.19; channel
+augmentation in training cut the tilt parity gaps ~5x to the ledgered
+values below) and the am/colored/tonal battery kinds. The entries below
+are residual gaps against OUR OWN extended gates, which are stricter than
+anything the reference tests: the reference promises nothing about
+synthetic noise batteries or +-9 dB channel tilts.
 """
 
 # (set_name, check) -> measured value at promotion.
 # check: "parity" = a dev_pure_speech/dev_pure_noise/dev_mixed >= 0.02,
 #        "si_sdr_gain" = gain <= 3 dB, "stoi" = regression > 0.01.
 KNOWN_GAPS = {
-    ("dev_heldout3:band", "si_sdr_gain"): 2.35,
-    ("dev_heldout5:babble", "parity"): 0.0319,
-    ("dev_heldout5:babble", "si_sdr_gain"): 1.52,
-    ("dev_heldout6:impulsive", "parity"): 0.0262,
-    ("dev_heldout7:rumble", "parity"): 0.0205,
-    # Round-5 pseudo-real battery expansion (reverb/tilt/mu-law/level-mod;
-    # VERDICT r4 #6): reverb and mu-law pass outright; the r4 bundle fails
-    # the spectral-tilt and slow-fade channels (it never saw a non-default
-    # channel in training — the device sampler now augments with random
-    # tilt/level-modulation, so these are expected to close at the next
-    # promotion).
-    ("reference_tilt+3", "parity"): 0.1736,
-    ("reference_tilt+3", "si_sdr_gain"): 2.98,
-    ("reference_tilt+3", "stoi"): 0.0182,
-    ("reference_tilt-3", "parity"): 0.1905,
-    ("reference_tilt-3", "stoi"): 0.0212,
-    ("reference_levelmod", "parity"): 0.0387,
+    ("dev_heldout3:band", "si_sdr_gain"): 2.31,
+    ("dev_heldout5:babble", "parity"): 0.0305,
+    ("dev_heldout5:babble", "si_sdr_gain"): 1.36,
+    ("dev_heldout6:impulsive", "parity"): 0.0317,
+    ("dev_heldout7:rumble", "parity"): 0.0212,
+    # Spectral-tilt channels (+-3 dB/oct = +-9 dB across the band): the
+    # round-4 model failed these at 0.17/0.19 parity; channel augmentation
+    # brought them to the boundary zone below. tilt-3 additionally makes
+    # the MIX fundamentally harder (the LF boost drops input SI-SDR from
+    # 8.5 to 0.4 dB), which is why its residual is the largest left.
+    ("reference_tilt+3", "parity"): 0.0321,
+    ("reference_tilt+3", "si_sdr_gain"): 2.90,
+    ("reference_tilt+3", "stoi"): 0.0196,
+    ("reference_tilt-3", "parity"): 0.0517,
 }
 
 # kind-name view for the battery-parameterized tests in test_parity.py:
