@@ -28,6 +28,11 @@ P_BABBLE = 0.30        # babble is the hardest pure-noise case (speech-like)
 # env-overridable so sweeps don't need code edits).
 P_TILT = float(os.environ.get("KOALA_AUG_TILT_P", "0.5"))
 P_LEVELMOD = float(os.environ.get("KOALA_AUG_LEVELMOD_P", "0.3"))
+# Max tilt slope (dB/oct). The pseudo-real eval battery tilts at exactly
+# +-3 dB/oct (train/pseudo_real.py) — training to +-4 puts the eval cases
+# INSIDE the augmentation support instead of at its edge (round-5 ledger:
+# both tilt cases sat at the 0.02 boundary when trained with max=3).
+TILT_DBOCT = float(os.environ.get("KOALA_AUG_TILT_DBOCT", "4.0"))
 
 
 def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
@@ -224,8 +229,12 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
     # the synthetic corpus had a single fixed channel, so "unusually
     # bright/fading speech" read as noise.
     kt1, kt2, kt3, kt4, kt5, kt6 = jax.random.split(ks[11], 6)
-    fg_t = jnp.clip(fg, 30.0, 8000.0)
-    slope_oct = jax.random.uniform(kt1, (batch, 1), minval=-3.0, maxval=3.0)
+    # 20 Hz frequency floor to match the eval transform (pseudo_real._tilt
+    # clamps at 20 Hz; a 30 Hz training floor left the eval's bottom-octave
+    # gain ~2 dB outside the training support).
+    fg_t = jnp.clip(fg, 20.0, 8000.0)
+    slope_oct = jax.random.uniform(kt1, (batch, 1), minval=-TILT_DBOCT,
+                                   maxval=TILT_DBOCT)
     tilt_gain = 10.0 ** (slope_oct * jnp.log2(fg_t / 1000.0) / 20.0)
     use_tilt = jax.random.uniform(kt2, (batch, 1)) < P_TILT
     tilt_gain = jnp.where(use_tilt, tilt_gain, 1.0)
