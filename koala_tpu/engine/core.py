@@ -51,41 +51,40 @@ class Engine:
 
         def _step(params, state, hop):
             # hop: [*, 256] float32 in [-1, 1]
-            frame = jnp.concatenate([state["input_carry"], hop], axis=-1)
-            re, im = stft_ops.stft_frame(frame)
+            re, im = stft_ops.stft_pair(state["input_carry"], hop)
             model_state, mask = self.model.step(params, state["model"], re, im, cfg)
-            synth = stft_ops.istft_frame(re * mask, im * mask)
-            out = synth[..., :FRAME_LENGTH] + state["ola"]
+            head, tail = stft_ops.istft_halves(re * mask, im * mask)
+            out = head + state["ola"]
             new_state = {
                 "input_carry": hop,
-                "ola": synth[..., FRAME_LENGTH:],
+                "ola": tail,
                 "model": model_state,
             }
             return new_state, out
 
         def _sequence_full(params, state, hops):
-            # hops: [*, T, 256] -> (state', out, mask, (re, im))
+            # hops: [*, T, 256] -> (state', out, mask, (re, im)).
+            # The [*, T, 512] overlapped-frame and synth tensors are never
+            # materialized: analysis runs on the (prev, cur) hop pair and
+            # synthesis yields (head, tail) halves directly (ops/stft.py
+            # stft_pair/istft_halves — ~2.4 GB less HBM traffic per
+            # B=512, T=376 chunk, the engine's dominant non-kernel cost).
             t_axis = hops.ndim - 2
-            # Overlapping frames with the carried hop as frame 0's left half.
+            # Each frame's left half = the previous hop (carried for t=0).
             prev = jnp.concatenate(
-                [state["input_carry"][..., None, :],
-                 jnp.moveaxis(jnp.moveaxis(hops, t_axis, 0)[:-1], 0, t_axis)],
+                [state["input_carry"][..., None, :], hops[..., :-1, :]],
                 axis=t_axis)
-            frames = jnp.concatenate([prev, hops], axis=-1)     # [*, T, 512]
-            re, im = stft_ops.stft_frame(frames)
+            re, im = stft_ops.stft_pair(prev, hops)
             model_state, mask = self.model.apply_sequence(
                 params, state["model"], re, im, cfg)
-            synth = stft_ops.istft_frame(re * mask, im * mask)  # [*, T, 512]
-            heads = synth[..., :FRAME_LENGTH]
-            tails = synth[..., FRAME_LENGTH:]
+            heads, tails = stft_ops.istft_halves(re * mask, im * mask)
             prev_tails = jnp.concatenate(
-                [state["ola"][..., None, :],
-                 jnp.moveaxis(jnp.moveaxis(tails, t_axis, 0)[:-1], 0, t_axis)],
+                [state["ola"][..., None, :], tails[..., :-1, :]],
                 axis=t_axis)
             out = heads + prev_tails                            # [*, T, 256]
             new_state = {
-                "input_carry": jnp.moveaxis(hops, t_axis, 0)[-1],
-                "ola": jnp.moveaxis(tails, t_axis, 0)[-1],
+                "input_carry": hops[..., -1, :],
+                "ola": tails[..., -1, :],
                 "model": model_state,
             }
             return new_state, out, mask, (re, im)
