@@ -367,20 +367,31 @@ def init_state(batch_shape: Tuple[int, ...], config: Dict[str, Any] = None,
             "floor": jnp.full(tuple(batch_shape) + (nb,), 30.0, dtype)}
 
 
+def _feat_dtype(cfg):
+    """Dtype the feature groups are emitted in. The encoder matmul casts
+    its input to the compute dtype anyway (_mm), so casting each group
+    BEFORE the concat is bitwise identical at the matmul — and halves the
+    HBM traffic of the concatenated [*, T, enc_in] feature tensor."""
+    return (jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16"
+            else jnp.float32)
+
+
 def step(params, state, re, im, config: Dict[str, Any] = None):
     """Single-frame step: (state pytree, [*,K] spectrum) -> (state', mask [*,K])."""
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
     nb = cfg.get("snr_bands") or 0
-    x = features(re, im, cfg)
+    dt = _feat_dtype(cfg)
+    x = features(re, im, cfg).astype(dt)
     if nb:
         lb = band_log_energy(re, im, cfg)
         floor = _floor_update(state["floor"], lb, cfg)
-        x = jnp.concatenate([x, _snr_features(lb, floor, cfg)], axis=-1)
+        x = jnp.concatenate([x, _snr_features(lb, floor, cfg).astype(dt)],
+                            axis=-1)
         hstate = state["h"]
     else:
         hstate = state
     if cfg.get("cep_feats"):
-        x = jnp.concatenate([x, cep_features(re, im, cfg)], axis=-1)
+        x = jnp.concatenate([x, cep_features(re, im, cfg).astype(dt)], axis=-1)
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])
     new_states = []
     for i, layer in enumerate(params["gru"]):
@@ -401,7 +412,8 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
     """
     cfg = dict(DEFAULT_CONFIG, **(config or {}))
     nb = cfg.get("snr_bands") or 0
-    x = features(re, im, cfg)                                   # [*, T, K]
+    dt = _feat_dtype(cfg)
+    x = features(re, im, cfg).astype(dt)                        # [*, T, K]
     if nb:
         # Floor tracking is a cheap elementwise recurrence over [*, nb] but
         # strictly sequential over T. On TPU it runs as ONE fused Pallas
@@ -424,26 +436,30 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
 
             floor_final, floors = jax.lax.scan(
                 floor_scan, state["floor"], lb_t)
-        snr = _snr_features(lb_t, floors, cfg)
+        snr = _snr_features(lb_t, floors, cfg).astype(dt)
         x = jnp.concatenate([x, jnp.moveaxis(snr, 0, t_ax)], axis=-1)
         state = state["h"]
     if cfg.get("cep_feats"):
         # Frame-local, so it stays hoisted out of the scan like the rest of
         # the feature/encoder pipeline.
-        x = jnp.concatenate([x, cep_features(re, im, cfg)], axis=-1)
+        x = jnp.concatenate([x, cep_features(re, im, cfg).astype(dt)], axis=-1)
     x = jax.nn.gelu(_mm(x, params["enc"]["w"], cfg) + params["enc"]["b"])  # [*, T, H]
 
     if _pallas_enabled(cfg, x):
         # gru_stack_trainable = the fused kernel forward with a custom_vjp
         # (analytic reverse scan over kernel-streamed hidden residuals), so
         # this path is differentiable and training uses the fused forward.
+        # batch_major: the kernel streams x/y in the model's native
+        # [B, T, H] layout — no full-tensor transposes on the hot path.
         from ..ops.pallas.gru import gru_stack_trainable
 
+        # (custom_vjp forbids keyword args: positional interpret=False,
+        # batch_major=True)
         y, h_final = gru_stack_trainable(
             jnp.moveaxis(state, 1, 0),                          # [L, B, H]
-            jnp.moveaxis(x, 1, 0),                              # [T, B, H]
-            params["gru"])
-        x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
+            x,                                                  # [B, T, H]
+            params["gru"], False, True)
+        x = y                                                   # [B, T, H]
         state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
         if nb:
             state = {"h": state, "floor": floor_final}
