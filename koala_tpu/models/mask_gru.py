@@ -449,17 +449,17 @@ def apply_sequence(params, state, re, im, config: Dict[str, Any] = None):
         # gru_stack_trainable = the fused kernel forward with a custom_vjp
         # (analytic reverse scan over kernel-streamed hidden residuals), so
         # this path is differentiable and training uses the fused forward.
-        # batch_major: the kernel streams x/y in the model's native
-        # [B, T, H] layout — no full-tensor transposes on the hot path.
+        # (Streaming the kernel in the model's native [B, T, H] layout was
+        # tried and is structurally impossible: a [B, 1, H] block violates
+        # the Mosaic constraint that the last two block dims be 8/128-
+        # divisible or full-size — so the layout transposes stay.)
         from ..ops.pallas.gru import gru_stack_trainable
 
-        # (custom_vjp forbids keyword args: positional interpret=False,
-        # batch_major=True)
         y, h_final = gru_stack_trainable(
             jnp.moveaxis(state, 1, 0),                          # [L, B, H]
-            x,                                                  # [B, T, H]
-            params["gru"], False, True)
-        x = y                                                   # [B, T, H]
+            jnp.moveaxis(x, 1, 0),                              # [T, B, H]
+            params["gru"])
+        x = jnp.moveaxis(y, 0, 1)                               # [B, T, H]
         state = jnp.moveaxis(h_final, 0, 1)                     # [B, L, H]
         if nb:
             state = {"h": state, "floor": floor_final}

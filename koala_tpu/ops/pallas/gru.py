@@ -57,7 +57,7 @@ def _gru_gates(h, hp, xp, hidden):
     return (1.0 - z) * n + z * h
 
 
-def _kernel(*refs, return_hidden=False, batch_major=False):
+def _kernel(*refs, return_hidden=False):
     # Layout: refs = (x, [wx_l, bx_l, wh_l, bh_l] x L, h0, y, [hs,] h). The
     # layer count is recovered from the count (static at trace time). h is
     # aliased with h0 (input_output_aliases), so it already holds the initial
@@ -65,9 +65,6 @@ def _kernel(*refs, return_hidden=False, batch_major=False):
     # state is the kernel's last output for free. With return_hidden, the
     # per-step post-update hidden stack is also streamed out (training
     # residuals for the custom_vjp backward — see gru_stack_trainable).
-    # With batch_major, the x/y streams are [B, T, H] blocks [B, 1, H]
-    # (the model's native layout — saves two full-tensor transposes per
-    # sequence call); the weights/hidden layouts are unchanged.
     x_ref = refs[0]
     if return_hidden:
         y_ref, hs_ref, h_ref = refs[-3], refs[-2], refs[-1]
@@ -77,7 +74,7 @@ def _kernel(*refs, return_hidden=False, batch_major=False):
         layer_refs = refs[1:-3]
     layers = len(layer_refs) // 4
     hidden = h_ref.shape[-1]
-    x_bf = x_ref[:, 0] if batch_major else x_ref[0]   # bf16 [B, H]
+    x_bf = x_ref[0]                                   # bf16 [B, H]
     x_f = x_bf.astype(jnp.float32)
 
     # All recurrent projections (hp_l from the PRE-step hidden states) are
@@ -100,37 +97,27 @@ def _kernel(*refs, return_hidden=False, batch_major=False):
             hs_ref[0, l] = h_new
         x_f = x_f + h_new                             # residual
         x_bf = x_f.astype(jnp.bfloat16)
-    if batch_major:
-        y_ref[:, 0] = x_bf
-    else:
-        y_ref[0] = x_bf
+    y_ref[0] = x_bf
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "return_hidden",
-                                             "batch_major"))
+@functools.partial(jax.jit, static_argnames=("interpret", "return_hidden"))
 def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False,
-                     return_hidden: bool = False, batch_major: bool = False):
+                     return_hidden: bool = False):
     """Run the fused L-layer GRU recurrence (input projections in-kernel).
 
     h0: [L, B, H] f32        initial hidden states (layer-major)
     x:  [T, B, H]            layer-0 inputs (encoder output; streamed bf16)
-                             — or [B, T, H] with ``batch_major`` (the
-                             model's native layout; saves the two
-                             full-tensor transposes around the kernel)
     layer_weights:           wx_0, bx_0, wh_0, bh_0, wx_1, ... (4 per layer;
                              wx/wh [H, 3H] cast to bf16 inside, bx/bh [3H])
-    -> (y bf16 in the same layout as x, h_final [L, B, H] f32), plus the
-    per-step hidden stack hs [T, L, B, H] f32 (always time-major) inserted
-    before h_final when return_hidden (training residuals).
+    -> (y [T, B, H] bf16, h_final [L, B, H] f32), plus the per-step hidden
+    stack hs [T, L, B, H] f32 inserted before h_final when return_hidden
+    (training residuals).
 
     Weights are passed per-layer (not stacked [L, ...]) on purpose: stacking
     materializes a multi-MB concatenate on every call and the stacked-block
     slicing lowers worse in Mosaic — measured ~35% slower end-to-end.
     """
-    if batch_major:
-        b, t_len, hidden = x.shape
-    else:
-        t_len, b, hidden = x.shape
+    t_len, b, hidden = x.shape
     layers = h0.shape[0]
     assert len(layer_weights) == 4 * layers, "need wx,bx,wh,bh per layer"
     three_h = 3 * hidden
@@ -143,12 +130,8 @@ def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False,
         return pl.BlockSpec((1, three_h), lambda t: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    if batch_major:
-        in_specs = [pl.BlockSpec((b, 1, hidden), lambda t: (0, t, 0),
-                                 memory_space=pltpu.VMEM)]
-    else:
-        in_specs = [pl.BlockSpec((1, b, hidden), lambda t: (t, 0, 0),
-                                 memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((1, b, hidden), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)]
     operands = [x.astype(jnp.bfloat16)]
     for l in range(layers):
         wx, bx, wh, bh = layer_weights[4 * l:4 * l + 4]
@@ -160,14 +143,11 @@ def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False,
     operands.append(h0.astype(jnp.float32))
     h0_index = len(operands) - 1
 
-    if batch_major:
-        out_specs = [pl.BlockSpec((b, 1, hidden), lambda t: (0, t, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [jax.ShapeDtypeStruct((b, t_len, hidden), jnp.bfloat16)]
-    else:
-        out_specs = [pl.BlockSpec((1, b, hidden), lambda t: (t, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [jax.ShapeDtypeStruct((t_len, b, hidden), jnp.bfloat16)]
+    out_specs = [
+        pl.BlockSpec((1, b, hidden), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((t_len, b, hidden), jnp.bfloat16)]
     if return_hidden:
         out_specs.append(pl.BlockSpec((1, layers, b, hidden),
                                       lambda t: (t, 0, 0, 0),
@@ -179,8 +159,7 @@ def gru_stack_pallas(h0, x, *layer_weights, interpret: bool = False,
     out_shape.append(jax.ShapeDtypeStruct((layers, b, hidden), jnp.float32))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, return_hidden=return_hidden,
-                          batch_major=batch_major),
+        functools.partial(_kernel, return_hidden=return_hidden),
         grid=(t_len,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -235,8 +214,8 @@ def gru_stack_ref(h0, x, layers):
     return y, h_final
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def gru_stack_trainable(h0, x, layers, interpret=False, batch_major=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_stack_trainable(h0, x, layers, interpret=False):
     """Differentiable fused recurrence: forward = the Pallas kernel,
     backward = analytic reverse-time scan over hidden states the kernel
     streams out as residuals (return_hidden) — no sequential forward
@@ -246,47 +225,34 @@ def gru_stack_trainable(h0, x, layers, interpret=False, batch_major=False):
     layers is the params["gru"] pytree (list of dicts), so gradients flow to
     the weights; VERDICT round-1 next-step #5 (training previously always
     paid the slow lax.scan forward, train/train.py:58-61).
-
-    With ``batch_major``, x and y are [B, T, H] (no transposes on the
-    inference hot path); the backward scan transposes internally (training
-    only).
     """
     y, h_final = gru_stack_pallas(h0, x, *flatten_layer_params(layers),
-                                  interpret=interpret,
-                                  batch_major=batch_major)
+                                  interpret=interpret)
     return y, h_final
 
 
-def _trainable_fwd(h0, x, layers, interpret, batch_major):
+def _trainable_fwd(h0, x, layers, interpret):
     L, b, hidden = h0.shape
     if gru_stack_supported(L, b, hidden, return_hidden=True):
         y, hs, h_final = gru_stack_pallas(
             h0, x, *flatten_layer_params(layers),
-            interpret=interpret, return_hidden=True,
-            batch_major=batch_major)
+            interpret=interpret, return_hidden=True)
     else:
         # Shapes fit the inference kernel but not the training variant's
         # extra hs stream: keep identical numerics via the scan mirror
         # (slower forward, same residuals).
-        x_t_major = jnp.moveaxis(x, 0, 1) if batch_major else x
-
         def body(h, x_t):
             h_new, y_t = _layers_step(layers, h, x_t)
             return h_new, (y_t, h_new)
 
         h_final, (y, hs) = jax.lax.scan(
-            body, h0.astype(jnp.float32), x_t_major.astype(jnp.bfloat16))
-        if batch_major:
-            y = jnp.moveaxis(y, 0, 1)
+            body, h0.astype(jnp.float32), x.astype(jnp.bfloat16))
     return (y, h_final), (h0, x, layers, hs)
 
 
-def _trainable_bwd(interpret, batch_major, res, cts):
+def _trainable_bwd(interpret, res, cts):
     h0, x, layers, hs = res
     ct_y, ct_hf = cts
-    if batch_major:
-        x = jnp.moveaxis(x, 0, 1)
-        ct_y = jnp.moveaxis(ct_y, 0, 1)
     x_bf = x.astype(jnp.bfloat16)
     # h_prev[t] = hidden stack BEFORE step t: h0 at t=0, else hs[t-1].
     h_prev_seq = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]], 0)
@@ -303,8 +269,6 @@ def _trainable_bwd(interpret, batch_major, res, cts):
     (dh0, dlayers), dx = jax.lax.scan(
         body, (ct_hf.astype(jnp.float32), zeros_w),
         (h_prev_seq, x_bf, ct_y.astype(jnp.bfloat16)), reverse=True)
-    if batch_major:
-        dx = jnp.moveaxis(dx, 0, 1)
     return dh0.astype(h0.dtype), dx.astype(x.dtype), dlayers
 
 
