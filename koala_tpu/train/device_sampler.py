@@ -28,6 +28,14 @@ P_BABBLE = 0.30        # babble is the hardest pure-noise case (speech-like)
 # env-overridable so sweeps don't need code edits).
 P_TILT = float(os.environ.get("KOALA_AUG_TILT_P", "0.5"))
 P_LEVELMOD = float(os.environ.get("KOALA_AUG_LEVELMOD_P", "0.3"))
+# Static channel gain (dB, applied identically to input and target after
+# mixture construction): explicit LEVEL invariance. The -6 dB pseudo-real
+# case is the recipe's tightest STOI boundary — every round-5 candidate
+# hovered within 0.002 of the no-regression limit there while passing at
+# unity gain, i.e. the enhancement quality was (weakly) level-dependent.
+P_GAIN = float(os.environ.get("KOALA_AUG_GAIN_P", "0.5"))
+GAIN_DB_LO = float(os.environ.get("KOALA_AUG_GAIN_LO", "-9.0"))
+GAIN_DB_HI = float(os.environ.get("KOALA_AUG_GAIN_HI", "3.0"))
 # Max tilt slope (dB/oct). The pseudo-real eval battery tilts at exactly
 # +-3 dB/oct (train/pseudo_real.py) — training to +-4 puts the eval cases
 # INSIDE the augmentation support instead of at its edge (round-5 ledger:
@@ -242,6 +250,14 @@ def sample_from_tapes(speech_tape, noise_tape, key, batch: int,
                           n=seg, axis=-1)
     clean = jnp.fft.irfft(jnp.fft.rfft(clean, axis=-1) * tilt_gain,
                           n=seg, axis=-1)
+
+    kg1, kg2, kt6 = jax.random.split(kt6, 3)   # kt6 reborn for use_lm below
+    g_db = jax.random.uniform(kg1, (batch, 1), minval=GAIN_DB_LO,
+                              maxval=GAIN_DB_HI)
+    g_static = jnp.where(jax.random.uniform(kg2, (batch, 1)) < P_GAIN,
+                         10.0 ** (g_db / 20.0), 1.0)
+    noisy = noisy * g_static
+    clean = clean * g_static
 
     tgrid = (jnp.arange(seg) / 16000.0)[None, :]
     rate = jax.random.uniform(kt3, (batch, 1), minval=0.15, maxval=0.7)
