@@ -51,33 +51,41 @@ class Engine:
 
         def _step(params, state, hop):
             # hop: [*, 256] float32 in [-1, 1]
-            re, im = stft_ops.stft_pair(state["input_carry"], hop)
+            frame = jnp.concatenate([state["input_carry"], hop], axis=-1)
+            re, im = stft_ops.stft_frame(frame)
             model_state, mask = self.model.step(params, state["model"], re, im, cfg)
-            head, tail = stft_ops.istft_halves(re * mask, im * mask)
-            out = head + state["ola"]
+            synth = stft_ops.istft_frame(re * mask, im * mask)
+            out = synth[..., :FRAME_LENGTH] + state["ola"]
             new_state = {
                 "input_carry": hop,
-                "ola": tail,
+                "ola": synth[..., FRAME_LENGTH:],
                 "model": model_state,
             }
             return new_state, out
 
         def _sequence_full(params, state, hops):
             # hops: [*, T, 256] -> (state', out, mask, (re, im)).
-            # The [*, T, 512] overlapped-frame and synth tensors are never
-            # materialized: analysis runs on the (prev, cur) hop pair and
-            # synthesis yields (head, tail) halves directly (ops/stft.py
-            # stft_pair/istft_halves — ~2.4 GB less HBM traffic per
-            # B=512, T=376 chunk, the engine's dominant non-kernel cost).
+            # Formulation note: the overlapped [*, T, 512] frame + the
+            # single K=512 DFT matmul BEAT the hop-split two-matmul form
+            # (ops/stft.py stft_pair/istft_halves) by ~12% end-to-end on
+            # TPU — measured A/B at B=512, T=376: 16.7 vs 18.7 ms/chunk.
+            # XLA handles the concat efficiently and the MXU prefers one
+            # K=512 contraction over two K=256 contractions + adds, so the
+            # "avoid materializing [*, T, 512]" intuition LOST to the
+            # measurement; both paths use the concat form (step ≡ sequence
+            # bit-identity requires one shared formulation).
             t_axis = hops.ndim - 2
             # Each frame's left half = the previous hop (carried for t=0).
             prev = jnp.concatenate(
                 [state["input_carry"][..., None, :], hops[..., :-1, :]],
                 axis=t_axis)
-            re, im = stft_ops.stft_pair(prev, hops)
+            frames = jnp.concatenate([prev, hops], axis=-1)     # [*, T, 512]
+            re, im = stft_ops.stft_frame(frames)
             model_state, mask = self.model.apply_sequence(
                 params, state["model"], re, im, cfg)
-            heads, tails = stft_ops.istft_halves(re * mask, im * mask)
+            synth = stft_ops.istft_frame(re * mask, im * mask)  # [*, T, 512]
+            heads = synth[..., :FRAME_LENGTH]
+            tails = synth[..., FRAME_LENGTH:]
             prev_tails = jnp.concatenate(
                 [state["ola"][..., None, :], tails[..., :-1, :]],
                 axis=t_axis)

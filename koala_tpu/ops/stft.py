@@ -114,63 +114,6 @@ def istft_frame(re: jnp.ndarray, im: jnp.ndarray, windowed: bool = True) -> jnp.
     return x
 
 
-@functools.lru_cache(maxsize=None)
-def _split_numpy_basis(fft_size: int):
-    """Hop-split views of the DFT bases + window for the pair/halves forms:
-    forward bases split by INPUT row range (first/second hop of the frame),
-    inverse bases split by OUTPUT column range (head/tail of the synth
-    frame)."""
-    fwd_re, fwd_im, inv_re, inv_im = _numpy_basis(fft_size)
-    w = _numpy_window(fft_size)
-    h = fft_size // 2
-    return (fwd_re[:h], fwd_re[h:], fwd_im[:h], fwd_im[h:],
-            inv_re[:, :h], inv_re[:, h:], inv_im[:, :h], inv_im[:, h:],
-            w[:h], w[h:])
-
-
-def stft_pair(prev_hop: jnp.ndarray, hop: jnp.ndarray):
-    """Windowed analysis DFT of the implicit frame [prev_hop | hop]
-    (each [..., 256]) -> (re, im) [..., NUM_BINS] — without materializing
-    the [..., 512] concatenated frame.
-
-    HBM rationale: the sequence path calls this with [*, T, 256] hops; the
-    concat-then-matmul form writes + twice reads a [*, T, 512] f32 tensor
-    (~1.2 GB of traffic at B=512, T=376) that this two-matmul form never
-    creates. Numerics: the contraction is split 512 -> 256 + 256 with one
-    extra f32 add; both the per-frame step path and the sequence path use
-    THIS function, so streaming/offline bit-identity is preserved.
-    """
-    fft_size = 2 * prev_hop.shape[-1]
-    (fre_lo, fre_hi, fim_lo, fim_hi, _, _, _, _,
-     w_lo, w_hi) = _split_numpy_basis(fft_size)
-    pw = prev_hop * jnp.asarray(w_lo)
-    hw = hop * jnp.asarray(w_hi)
-    re = (jnp.matmul(pw, jnp.asarray(fre_lo), precision=DFT_PRECISION)
-          + jnp.matmul(hw, jnp.asarray(fre_hi), precision=DFT_PRECISION))
-    im = (jnp.matmul(pw, jnp.asarray(fim_lo), precision=DFT_PRECISION)
-          + jnp.matmul(hw, jnp.asarray(fim_hi), precision=DFT_PRECISION))
-    return re, im
-
-
-def istft_halves(re: jnp.ndarray, im: jnp.ndarray):
-    """(re, im) [..., NUM_BINS] -> (head, tail) each [..., 256]: the
-    synthesis-windowed frame's two hop-halves, without materializing the
-    [..., 512] frame. Splitting the inverse bases by OUTPUT column is
-    bit-exact per element (each output sample's contraction is unchanged).
-    The engine overlap-adds head directly and carries tail as the OLA
-    state, so the full synth frame is never needed."""
-    fft_size = 2 * (re.shape[-1] - 1)
-    (_, _, _, _, ire_lo, ire_hi, iim_lo, iim_hi,
-     w_lo, w_hi) = _split_numpy_basis(fft_size)
-    head = (jnp.matmul(re, jnp.asarray(ire_lo), precision=DFT_PRECISION)
-            + jnp.matmul(im, jnp.asarray(iim_lo), precision=DFT_PRECISION)
-            ) * jnp.asarray(w_lo)
-    tail = (jnp.matmul(re, jnp.asarray(ire_hi), precision=DFT_PRECISION)
-            + jnp.matmul(im, jnp.asarray(iim_hi), precision=DFT_PRECISION)
-            ) * jnp.asarray(w_hi)
-    return head, tail
-
-
 def frame_signal(pcm: jnp.ndarray, hop: int = FRAME_LENGTH,
                  fft_size: int = FFT_SIZE) -> jnp.ndarray:
     """[..., T*hop] -> overlapping [..., T, fft_size] frames.
@@ -209,8 +152,6 @@ __all__ = [
     "analysis_window",
     "stft_frame",
     "istft_frame",
-    "stft_pair",
-    "istft_halves",
     "frame_signal",
     "overlap_add",
 ]

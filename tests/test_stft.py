@@ -57,33 +57,3 @@ def test_perfect_reconstruction_delay_one_hop(rng):
     # output hop 0 is the (windowed-zeros) warmup; hops 1.. reproduce input
     np.testing.assert_allclose(
         y[:, FRAME_LENGTH:], x[:, : (t - 1) * FRAME_LENGTH], atol=1e-4)
-
-
-def test_stft_pair_matches_concat_frame(rng):
-    """The hop-split analysis form (engine hot path: no [.., 512] concat)
-    must match the windowed full-frame DFT."""
-    prev = rng.standard_normal((3, 5, FRAME_LENGTH)).astype(np.float32)
-    cur = rng.standard_normal((3, 5, FRAME_LENGTH)).astype(np.float32)
-    re_s, im_s = stft_ops.stft_pair(jnp.asarray(prev), jnp.asarray(cur))
-    frames = jnp.concatenate([jnp.asarray(prev), jnp.asarray(cur)], axis=-1)
-    re_f, im_f = stft_ops.stft_frame(frames)
-    np.testing.assert_allclose(np.asarray(re_s), np.asarray(re_f),
-                               atol=1e-3, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(im_s), np.asarray(im_f),
-                               atol=1e-3, rtol=1e-5)
-
-
-def test_istft_halves_match_full_synth(rng):
-    """The head/tail synthesis split must equal the two hop-halves of the
-    windowed full synthesis frame (bit-exact per element: the split is by
-    output column, so each sample's contraction is unchanged)."""
-    re = rng.standard_normal((4, NUM_BINS)).astype(np.float32)
-    im = rng.standard_normal((4, NUM_BINS)).astype(np.float32)
-    head, tail = stft_ops.istft_halves(jnp.asarray(re), jnp.asarray(im))
-    full = stft_ops.istft_frame(jnp.asarray(re), jnp.asarray(im))
-    np.testing.assert_allclose(np.asarray(head),
-                               np.asarray(full)[..., :FRAME_LENGTH],
-                               atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(tail),
-                               np.asarray(full)[..., FRAME_LENGTH:],
-                               atol=1e-5, rtol=1e-5)
