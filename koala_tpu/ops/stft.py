@@ -90,14 +90,48 @@ def analysis_window(fft_size: int = FFT_SIZE) -> jnp.ndarray:
     return jnp.asarray(_numpy_window(fft_size))
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_bases(fft_size: int):
+    """(fwd [N, 2K] = window-folded [cos | -sin], inv_re/inv_im [K, N]
+    window-folded): the analysis window is folded into the forward basis
+    ROWS and the synthesis window into the inverse basis COLUMNS, and the
+    forward re/im bases are fused side-by-side into ONE matrix.
+
+    Why: at sequence shapes ([B, T, 512] frames) the separate form pays
+    (a) an elementwise window pass over the full frame tensor each way
+    (~1.6 GB of HBM traffic per B=512, T=376 chunk) and (b) TWO matmuls
+    that each re-read the frame tensor. Folding the window moves that
+    multiply into the (VMEM-resident, tiny) basis, and fusing re|im makes
+    the forward a single [*, 512] @ [512, 514] contraction that reads the
+    frames once. All folds are computed in float64 before the f32 cast."""
+    n = np.arange(fft_size)[:, None].astype(np.float64)
+    k = np.arange(fft_size // 2 + 1)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * n * k / fft_size
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(fft_size) / fft_size)
+    w = np.sqrt(hann)
+    fwd = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1) * w[:, None]
+    coef = np.full((fft_size // 2 + 1,), 2.0)
+    coef[0] = 1.0
+    coef[-1] = 1.0
+    inv_re = (coef[:, None] * np.cos(ang).T) / fft_size * w[None, :]
+    inv_im = (coef[:, None] * -np.sin(ang).T) / fft_size * w[None, :]
+    return (fwd.astype(np.float32), inv_re.astype(np.float32),
+            inv_im.astype(np.float32))
+
+
 def stft_frame(frames: jnp.ndarray, windowed: bool = True):
     """[..., FFT_SIZE] time frames -> (re, im) each [..., NUM_BINS].
 
-    One fused (window * frame) @ basis matmul; batch dims ride the MXU rows.
+    Windowed path: ONE frames @ [512, 514] matmul against the
+    window-folded fused re|im basis (see _windowed_bases); batch dims ride
+    the MXU rows and the frame tensor is read once.
     """
-    fwd_re, fwd_im, _, _ = dft_matrices(frames.shape[-1])
     if windowed:
-        frames = frames * analysis_window(frames.shape[-1])
+        fwd, _, _ = _windowed_bases(frames.shape[-1])
+        k = frames.shape[-1] // 2 + 1
+        rei = jnp.matmul(frames, jnp.asarray(fwd), precision=DFT_PRECISION)
+        return rei[..., :k], rei[..., k:]
+    fwd_re, fwd_im, _, _ = dft_matrices(frames.shape[-1])
     re = jnp.matmul(frames, fwd_re, precision=DFT_PRECISION)
     im = jnp.matmul(frames, fwd_im, precision=DFT_PRECISION)
     return re, im
@@ -106,12 +140,13 @@ def stft_frame(frames: jnp.ndarray, windowed: bool = True):
 def istft_frame(re: jnp.ndarray, im: jnp.ndarray, windowed: bool = True) -> jnp.ndarray:
     """(re, im) [..., NUM_BINS] -> synthesis-windowed time frame [..., FFT_SIZE]."""
     fft_size = 2 * (re.shape[-1] - 1)
-    _, _, inv_re, inv_im = dft_matrices(fft_size)
-    x = (jnp.matmul(re, inv_re, precision=DFT_PRECISION)
-         + jnp.matmul(im, inv_im, precision=DFT_PRECISION))
     if windowed:
-        x = x * analysis_window(fft_size)
-    return x
+        _, inv_re, inv_im = _windowed_bases(fft_size)
+        return (jnp.matmul(re, jnp.asarray(inv_re), precision=DFT_PRECISION)
+                + jnp.matmul(im, jnp.asarray(inv_im), precision=DFT_PRECISION))
+    _, _, inv_re, inv_im = dft_matrices(fft_size)
+    return (jnp.matmul(re, inv_re, precision=DFT_PRECISION)
+            + jnp.matmul(im, inv_im, precision=DFT_PRECISION))
 
 
 def frame_signal(pcm: jnp.ndarray, hop: int = FRAME_LENGTH,
