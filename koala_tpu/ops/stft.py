@@ -129,8 +129,15 @@ def stft_frame(frames: jnp.ndarray, windowed: bool = True):
     if windowed:
         fwd, _, _ = _windowed_bases(frames.shape[-1])
         k = frames.shape[-1] // 2 + 1
-        rei = jnp.matmul(frames, jnp.asarray(fwd), precision=DFT_PRECISION)
-        return rei[..., :k], rei[..., k:]
+        basis = jnp.asarray(fwd)
+        # Two matmuls against the folded basis halves rather than one
+        # [512, 514] contraction: the fused form measured the same speed
+        # but its different output tiling broke the 1-LSB int16 agreement
+        # between the B=1 step path and the [B, T] sequence path that the
+        # serving chunk≡steps tests pin.
+        re = jnp.matmul(frames, basis[:, :k], precision=DFT_PRECISION)
+        im = jnp.matmul(frames, basis[:, k:], precision=DFT_PRECISION)
+        return re, im
     fwd_re, fwd_im, _, _ = dft_matrices(frames.shape[-1])
     re = jnp.matmul(frames, fwd_re, precision=DFT_PRECISION)
     im = jnp.matmul(frames, fwd_im, precision=DFT_PRECISION)
