@@ -29,11 +29,11 @@ P_BABBLE = 0.30        # babble is the hardest pure-noise case (speech-like)
 P_TILT = float(os.environ.get("KOALA_AUG_TILT_P", "0.5"))
 P_LEVELMOD = float(os.environ.get("KOALA_AUG_LEVELMOD_P", "0.3"))
 # Static channel gain (dB, applied identically to input and target after
-# mixture construction): explicit LEVEL invariance. The -6 dB pseudo-real
-# case is the recipe's tightest STOI boundary — every round-5 candidate
-# hovered within 0.002 of the no-regression limit there while passing at
-# unity gain, i.e. the enhancement quality was (weakly) level-dependent.
-P_GAIN = float(os.environ.get("KOALA_AUG_GAIN_P", "0.5"))
+# mixture construction): explicit LEVEL invariance. Default OFF — the
+# -6 dB pseudo-real case is the recipe's tightest STOI boundary and this
+# knob was hypothesized to help it, but the A/B (run D, seed 3) measured
+# it REGRESSING four STOI gates; kept as an experiment knob only.
+P_GAIN = float(os.environ.get("KOALA_AUG_GAIN_P", "0.0"))
 GAIN_DB_LO = float(os.environ.get("KOALA_AUG_GAIN_LO", "-9.0"))
 GAIN_DB_HI = float(os.environ.get("KOALA_AUG_GAIN_HI", "3.0"))
 # Max tilt slope (dB/oct). The pseudo-real eval battery tilts at exactly
