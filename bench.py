@@ -374,13 +374,14 @@ def main() -> None:
     float(checksum(hops))  # force input materialization
 
     # Warmup / compile (discarded, reference methodology:
-    # test_koala_perf.py:45-52).
-    state, out = engine.sequence_jit(params, state, hops)
+    # test_koala_perf.py:45-52). sequence_fast engages the fully-fused
+    # Pallas engine kernel (ops/pallas/engine_fused.py) on TPU.
+    state, out = engine.sequence_fast_jit(params, state, hops)
     float(checksum(out))
 
     start = time.perf_counter()
     for _ in range(iters):
-        state, out = engine.sequence_jit(params, state, hops)
+        state, out = engine.sequence_fast_jit(params, state, hops)
     # The scalar fetch forces the whole donated-state dependency chain.
     float(checksum(out))
     elapsed = time.perf_counter() - start

@@ -152,7 +152,11 @@ class KoalaBatch:
         padded = np.zeros((self._batch_size, t * FRAME_LENGTH), np.float32)
         padded[:, :n] = pcm.astype(np.float32)
         hops = (padded / 32768.0).reshape(self._batch_size, t, FRAME_LENGTH)
-        self._state, out = self._engine.sequence_jit(self._params, self._state, hops)
+        # Offline one-shot surface -> the fused-engine fast path on TPU
+        # (ops/pallas/engine_fused.py); process/process_chunk keep the
+        # shared XLA formulation and its cross-path LSB agreement.
+        self._state, out = self._engine.sequence_fast_jit(
+            self._params, self._state, hops)
         flat = np.asarray(out).reshape(self._batch_size, -1)
         return _float_to_pcm_np(flat[:, DELAY_SAMPLE:DELAY_SAMPLE + n])
 

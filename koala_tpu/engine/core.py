@@ -101,6 +101,33 @@ class Engine:
             new_state, out, _, _ = _sequence_full(params, state, hops)
             return new_state, out
 
+        def _sequence_fast(params, state, hops):
+            # Offline/batch fast path: the fully-fused Pallas engine kernel
+            # (ops/pallas/engine_fused.py — STFT -> features -> GRU -> mask
+            # -> iSTFT in ONE launch; HBM traffic = audio in/out only) when
+            # backend + shape + config qualify; otherwise the shared XLA
+            # formulation. Numerics: bf16 spectral rounding vs the XLA
+            # path (~-45 dB, quality-neutral); chunking stays exact within
+            # the fused path, so bench/batch-demo/wash use this while the
+            # serving/step paths keep the XLA formulation and its
+            # cross-path LSB agreement.
+            from ..models.mask_gru import _pallas_backend_ok
+            from ..ops.pallas.engine_fused import (
+                T_BLOCK, fused_sequence, fused_sequence_supported)
+
+            t_len = hops.shape[-2] if hops.ndim == 3 else 0
+            t8 = t_len // T_BLOCK * T_BLOCK
+            if (self.kind == "mask_gru" and hops.ndim == 3 and t8
+                    and isinstance(params, dict) and "gate" in params
+                    and _pallas_backend_ok(cfg)
+                    and fused_sequence_supported(cfg, hops.shape[0], t8)):
+                st, out = fused_sequence(params, state, hops[:, :t8], cfg)
+                if t8 < t_len:
+                    st, tail = _sequence(params, st, hops[:, t8:])
+                    out = jnp.concatenate([out, tail], axis=1)
+                return st, out
+            return _sequence(params, state, hops)
+
         def _step_masked(params, state, hop, active):
             # Lockstep pool step: compute for ALL streams, commit state only
             # for active ones (TPU-friendly: uniform compute, masked commit).
@@ -144,7 +171,9 @@ class Engine:
         self.chunk_masked = _chunk_masked
         # Donate state so per-call streaming keeps buffers resident on-device
         # with no realloc (SURVEY.md §7 hard-part 2: state residency).
+        self.sequence_fast = _sequence_fast
         self.step_jit = jax.jit(_step, donate_argnums=(1,))
+        self.sequence_fast_jit = jax.jit(_sequence_fast, donate_argnums=(1,))
         self.step_masked_jit = jax.jit(_step_masked, donate_argnums=(1,))
         self.chunk_masked_jit = jax.jit(_chunk_masked, donate_argnums=(1,))
         self.sequence_jit = jax.jit(_sequence, donate_argnums=(1,))

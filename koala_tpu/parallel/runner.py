@@ -70,7 +70,10 @@ class CorpusRunner:
             # over the data axis — mark the init state varying to match.
             state = jax.tree_util.tree_map(
                 lambda x: jax.lax.pvary(x, DATA_AXIS), state)
-            _, out = eng.sequence(params, state, hops)
+            # sequence_fast: the fully-fused Pallas engine kernel per
+            # device when shapes/config qualify (local block B under
+            # shard_map), else the shared XLA formulation.
+            _, out = eng.sequence_fast(params, state, hops)
             return out
 
         from .mesh import DATA_AXIS
