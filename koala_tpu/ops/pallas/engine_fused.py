@@ -109,12 +109,12 @@ def _np_constants(bins: int, nb: int, cep: int):
 
 def _kernel(*refs, layers, cep, cfg):
     """One grid step: T_BLOCK hops for one batch tile, full engine chain."""
-    (hops_ref, dftf_ref, invr_ref, invi_ref, band_ref, cepb_ref, cmask_ref,
-     w1_ref, w2_ref, w3_ref, wcep_ref, benc_ref) = refs[:12]
-    lrefs = refs[12:12 + 4 * layers]
+    (hops_ref, dftt_ref, dftb_ref, invr_ref, invi_ref, band_ref, cepb_ref,
+     cmask_ref, w1_ref, w2_ref, w3_ref, wcep_ref, benc_ref) = refs[:13]
+    lrefs = refs[13:13 + 4 * layers]
     (wdec_ref, bdec_ref, wg_ref, bg_ref,
      carry0, ola0, floor0, h0,
-     out_ref, carry_ref, ola_ref, floor_ref, h_ref) = refs[12 + 4 * layers:]
+     out_ref, carry_ref, ola_ref, floor_ref, h_ref) = refs[13 + 4 * layers:]
     del carry0, ola0, floor0, h0       # aliased into the *_ref state outputs
 
     eps2 = np.float32(cfg["feat_eps"]) ** 2
@@ -124,9 +124,13 @@ def _kernel(*refs, layers, cep, cfg):
     carry = carry_ref[...]                                 # [b, 256] bf16
     for t in range(T_BLOCK):
         hop = hops_ref[:, t, :]                            # [b, 256] bf16
-        frame = jnp.concatenate([carry, hop], axis=-1)     # [b, 512] bf16
-        spec = jnp.dot(frame, dftf_ref[...],
-                       preferred_element_type=jnp.float32)  # [b, 2*KPAD]
+        # split-K DFT: frame = [carry | hop], so frame @ basis ==
+        # carry @ basis[:256] + hop @ basis[256:] — the concat itself
+        # never exists (Mosaic cannot concat a sublane-offset hop slice)
+        spec = (jnp.dot(carry, dftt_ref[...],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(hop, dftb_ref[...],
+                          preferred_element_type=jnp.float32))  # [b, 2*KPAD]
         re, im = spec[:, :KPAD], spec[:, KPAD:]
         mag2 = re * re + im * im
         logmag = 0.5 * jnp.log(mag2 + eps2)
@@ -282,7 +286,8 @@ def _fused_call(params, carry, ola, floor, h, hops, cfg_key,
 
     operands = [
         hops.astype(jnp.bfloat16),
-        jnp.asarray(consts["dft_fwd"], jnp.bfloat16),
+        jnp.asarray(consts["dft_fwd"][:FRAME_LENGTH], jnp.bfloat16),
+        jnp.asarray(consts["dft_fwd"][FRAME_LENGTH:], jnp.bfloat16),
         jnp.asarray(consts["inv_re"], jnp.bfloat16),
         jnp.asarray(consts["inv_im"], jnp.bfloat16),
         jnp.asarray(consts["band"], jnp.bfloat16),
@@ -300,7 +305,8 @@ def _fused_call(params, carry, ola, floor, h, hops, cfg_key,
     in_specs = [
         pl.BlockSpec((b_tile, T_BLOCK, 256), lambda bb, tt: (bb, tt, 0),
                      memory_space=pltpu.VMEM),
-        wspec((FFT_SIZE, 2 * KPAD)), wspec((KPAD, FFT_SIZE)),
+        wspec((FRAME_LENGTH, 2 * KPAD)), wspec((FRAME_LENGTH, 2 * KPAD)),
+        wspec((KPAD, FFT_SIZE)),
         wspec((KPAD, FFT_SIZE)), wspec((KPAD, NBPAD)),
         wspec((KPAD, CEP_LAGS_PAD)), wspec(consts["cmask"].shape),
         wspec((KPAD, hidden)), wspec((NBPAD, hidden)), wspec((NBPAD, hidden)),
@@ -392,7 +398,8 @@ def fused_sequence_ref(params, state, hops, cfg):
     w1, w2, w3 = (w.astype(jnp.bfloat16) for w in (w1, w2, w3))
     wdec = wdec.astype(jnp.bfloat16)
     wg = wg.astype(jnp.bfloat16)
-    dftf = jnp.asarray(consts["dft_fwd"], jnp.bfloat16)
+    dftt = jnp.asarray(consts["dft_fwd"][:FRAME_LENGTH], jnp.bfloat16)
+    dftb = jnp.asarray(consts["dft_fwd"][FRAME_LENGTH:], jnp.bfloat16)
     invr = jnp.asarray(consts["inv_re"], jnp.bfloat16)
     invi = jnp.asarray(consts["inv_im"], jnp.bfloat16)
     band = jnp.asarray(consts["band"], jnp.bfloat16)
@@ -411,8 +418,8 @@ def fused_sequence_ref(params, state, hops, cfg):
     outs = []
     for t in range(hops.shape[1]):
         hop = hops_bf[:, t, :]
-        frame = jnp.concatenate([carry, hop], axis=-1)
-        spec = jnp.dot(frame, dftf, preferred_element_type=jnp.float32)
+        spec = (jnp.dot(carry, dftt, preferred_element_type=jnp.float32)
+                + jnp.dot(hop, dftb, preferred_element_type=jnp.float32))
         re, im = spec[:, :KPAD], spec[:, KPAD:]
         mag2 = re * re + im * im
         logmag = 0.5 * jnp.log(mag2 + eps2)
