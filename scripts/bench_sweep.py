@@ -82,7 +82,43 @@ def main():
         float(checksum(holder.get("out", hops)))
 
     t_full = timed(run_full, sync)
-    report["full_sequence_ms"] = round(t_full * 1e3, 3)
+    report["xla_sequence_ms"] = round(t_full * 1e3, 3)
+
+    # fully-fused engine kernel (ops/pallas/engine_fused.py) — the bench
+    # headline path (engine.sequence_fast_jit), plus a batch-tile sweep.
+    holder_f = {"state": jax.device_put(engine.init_state((B,)), dev)}
+
+    def run_fused():
+        holder_f["state"], out = engine.sequence_fast_jit(
+            params, holder_f["state"], hops)
+        holder["out"] = out
+
+    t_fused = timed(run_fused, sync)
+    report["full_sequence_ms"] = round(t_fused * 1e3, 3)
+    from koala_tpu.ops.pallas.engine_fused import (fused_sequence,
+                                                   _pick_b_tile)
+    report["fused_b_tile"] = _pick_b_tile(B, config)
+    tiles = {}
+    for bt in (64, 128, 256):
+        if B % bt:
+            continue
+        st = jax.device_put(engine.init_state((B,)), dev)
+        full_state = {"input_carry": st["input_carry"], "ola": st["ola"],
+                      "model": st["model"]}
+        try:
+            fcall = jax.jit(lambda p2, s2, h2, bt=bt: fused_sequence(
+                p2, s2, h2, config, b_tile=bt))
+            hold_t = {"state": full_state}
+
+            def run_tile(fcall=fcall, hold_t=hold_t):
+                hold_t["state"], out = fcall(params, hold_t["state"], hops)
+                holder["out"] = out
+
+            tiles["b_tile_%d_ms" % bt] = round(timed(run_tile, sync) * 1e3, 3)
+        except Exception as e:                          # VMEM overflow etc.
+            tiles["b_tile_%d_ms" % bt] = "failed: %s" % str(e)[:80]
+        print("tile", bt, tiles["b_tile_%d_ms" % bt], flush=True)
+    report["fused_tile_sweep"] = tiles
 
     # kernel alone (same shapes the sequence path feeds it)
     x = 0.1 * jax.random.normal(key, (T, B, H), jnp.float32)
@@ -209,7 +245,8 @@ def main():
             hold = {"state": st}
 
             def run(hp=hp, hold=hold):
-                hold["state"], out = engine.sequence_jit(params, hold["state"], hp)
+                hold["state"], out = engine.sequence_fast_jit(
+                    params, hold["state"], hp)
                 holder["out"] = out
 
             dt = timed(run, sync, iters=10)
