@@ -284,6 +284,11 @@ def _fused_call(params, carry, ola, floor, h, hops, cfg_key,
     consts = _np_constants(bins, nb, cep)
     w1, w2, w3, wcep, benc, wdec, bdec, wg, bg = _prep_weights(params, cfg)
 
+    # NOTE (measured negative result): streaming the hops as f32 and
+    # casting per-hop in-kernel was tried to skip this whole-chunk bf16
+    # cast pass — it LOST 4% end-to-end (372k -> 358k audio-s/s at
+    # B=512/T=376, 50-iter A/B): doubling the kernel's input DMA bytes
+    # costs more than the one extra fused cast pass in XLA.
     operands = [
         hops.astype(jnp.bfloat16),
         jnp.asarray(consts["dft_fwd"][:FRAME_LENGTH], jnp.bfloat16),
