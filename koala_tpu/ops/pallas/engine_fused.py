@@ -64,6 +64,10 @@ from .gru import _gru_gates
 
 T_BLOCK = 8          # hops per grid step (Mosaic sublane alignment)
 KPAD = 384           # lane-padded bin count (257 -> 3 x 128)
+KPAD_IM = 256        # im lanes: bins 0..255 — the im Nyquist bin is
+                     # IDENTICALLY zero (-sin(pi*n) == 0), so dropping its
+                     # lane block is exact and shrinks the forward basis to
+                     # [512, KPAD+KPAD_IM] and the im-inverse to [256, 512]
 NBPAD = 128          # lane-padded tracker band count (32 -> 128)
 CEP_LAGS_PAD = 256   # lane-padded cepstral lag count (161 -> 2 x 128)
 
@@ -85,13 +89,17 @@ def _np_constants(bins: int, nb: int, cep: int):
 
     fwd, inv_re, inv_im = _windowed_bases(FFT_SIZE)       # [512,514],[257,512]
     k = bins
-    dft_fwd = np.zeros((FFT_SIZE, 2 * KPAD), np.float32)
+    dft_fwd = np.zeros((FFT_SIZE, KPAD + KPAD_IM), np.float32)
     dft_fwd[:, :k] = fwd[:, :k]
-    dft_fwd[:, KPAD:KPAD + k] = fwd[:, k:]
+    dft_fwd[:, KPAD:KPAD + KPAD_IM] = fwd[:, k:k + KPAD_IM]
+    # im Nyquist basis = -sin(pi*n)*w: zero in exact math; float pi leaves
+    # ~1e-12 residue, far below the kernel's bf16 rounding (~1e-2 relative)
+    assert np.max(np.abs(fwd[:, k + KPAD_IM:])) < 1e-6
     inv_re_p = np.zeros((KPAD, FFT_SIZE), np.float32)
     inv_re_p[:k] = inv_re
-    inv_im_p = np.zeros((KPAD, FFT_SIZE), np.float32)
-    inv_im_p[:k] = inv_im
+    inv_im_p = np.zeros((KPAD_IM, FFT_SIZE), np.float32)
+    inv_im_p[:KPAD_IM] = inv_im[:KPAD_IM]
+    assert np.max(np.abs(inv_im[KPAD_IM:])) < 1e-6       # Nyquist row ~ 0
 
     band = np.zeros((KPAD, NBPAD), np.float32)
     band[:k, :nb] = _band_matrix_np(bins, nb)
@@ -130,9 +138,11 @@ def _kernel(*refs, layers, cep, cfg):
         spec = (jnp.dot(carry, dftt_ref[...],
                         preferred_element_type=jnp.float32)
                 + jnp.dot(hop, dftb_ref[...],
-                          preferred_element_type=jnp.float32))  # [b, 2*KPAD]
+                          preferred_element_type=jnp.float32))  # [b, KPAD+256]
         re, im = spec[:, :KPAD], spec[:, KPAD:]
-        mag2 = re * re + im * im
+        im2 = im * im                                      # [b, 256]
+        mag2 = re * re + jnp.concatenate(
+            [im2, jnp.zeros_like(im2[:, :KPAD - KPAD_IM])], axis=-1)
         logmag = 0.5 * jnp.log(mag2 + eps2)
         feat = ((logmag + cfg["feat_shift"]) * cfg["feat_scale"])
 
@@ -186,7 +196,7 @@ def _kernel(*refs, layers, cep, cfg):
         mask = mask + gate * (1.0 - mask)
 
         mre = (re * mask).astype(jnp.bfloat16)
-        mim = (im * mask).astype(jnp.bfloat16)
+        mim = (im * mask[:, :KPAD_IM]).astype(jnp.bfloat16)
         synth = (jnp.dot(mre, invr_ref[...],
                          preferred_element_type=jnp.float32)
                  + jnp.dot(mim, invi_ref[...],
@@ -232,12 +242,12 @@ def _vmem_bytes(cfg, b_tile: int) -> int:
     double-buffered stream blocks, and the dominant live temporaries."""
     h, L = cfg["hidden"], cfg["num_layers"]
     weights = (2 * L * h * 3 * h * 2                 # GRU bf16
-               + (2 * KPAD + 2 * KPAD) * 512 * 2     # DFT bases bf16
+               + (2 * (KPAD + KPAD_IM) + KPAD + KPAD_IM) * 512 * 2  # DFT bf16
                + (KPAD + 2 * NBPAD + 2 * h) * h * 2  # enc/dec bf16
                + KPAD * (NBPAD + CEP_LAGS_PAD) * 2)  # band + cep bases
     state = b_tile * (L * h * 4 + NBPAD * 4 + 256 * 2 + 256 * 4)
     streams = 2 * b_tile * T_BLOCK * 256 * (2 + 4)
-    temps = b_tile * (2 * KPAD * 4 * 3 + 3 * h * 4 * 2 + 512 * 6)
+    temps = b_tile * ((KPAD + KPAD_IM) * 4 * 3 + 3 * h * 4 * 2 + 512 * 6)
     return weights + state + streams + temps
 
 
@@ -310,9 +320,10 @@ def _fused_call(params, carry, ola, floor, h, hops, cfg_key,
     in_specs = [
         pl.BlockSpec((b_tile, T_BLOCK, 256), lambda bb, tt: (bb, tt, 0),
                      memory_space=pltpu.VMEM),
-        wspec((FRAME_LENGTH, 2 * KPAD)), wspec((FRAME_LENGTH, 2 * KPAD)),
+        wspec((FRAME_LENGTH, KPAD + KPAD_IM)),
+        wspec((FRAME_LENGTH, KPAD + KPAD_IM)),
         wspec((KPAD, FFT_SIZE)),
-        wspec((KPAD, FFT_SIZE)), wspec((KPAD, NBPAD)),
+        wspec((KPAD_IM, FFT_SIZE)), wspec((KPAD, NBPAD)),
         wspec((KPAD, CEP_LAGS_PAD)), wspec(consts["cmask"].shape),
         wspec((KPAD, hidden)), wspec((NBPAD, hidden)), wspec((NBPAD, hidden)),
         wspec(tuple(np.shape(wcep))), wspec((1, hidden)),
@@ -426,7 +437,9 @@ def fused_sequence_ref(params, state, hops, cfg):
         spec = (jnp.dot(carry, dftt, preferred_element_type=jnp.float32)
                 + jnp.dot(hop, dftb, preferred_element_type=jnp.float32))
         re, im = spec[:, :KPAD], spec[:, KPAD:]
-        mag2 = re * re + im * im
+        im2 = im * im
+        mag2 = re * re + jnp.concatenate(
+            [im2, jnp.zeros_like(im2[:, :KPAD - KPAD_IM])], axis=-1)
         logmag = 0.5 * jnp.log(mag2 + eps2)
         feat = (logmag + cfg["feat_shift"]) * cfg["feat_scale"]
         lb = jnp.log(jnp.dot(mag2.astype(jnp.bfloat16), band,
@@ -472,7 +485,7 @@ def fused_sequence_ref(params, state, hops, cfg):
         gate = jnp.concatenate([g128] * (KPAD // 128), axis=-1)
         mask = mask + gate * (1.0 - mask)
         mre = (re * mask).astype(jnp.bfloat16)
-        mim = (im * mask).astype(jnp.bfloat16)
+        mim = (im * mask[:, :KPAD_IM]).astype(jnp.bfloat16)
         synth = (jnp.dot(mre, invr, preferred_element_type=jnp.float32)
                  + jnp.dot(mim, invi, preferred_element_type=jnp.float32))
         outs.append(synth[:, :FRAME_LENGTH] + ola)
